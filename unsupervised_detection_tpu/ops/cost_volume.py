@@ -1,0 +1,55 @@
+"""Cost-volume correlation between two feature maps.
+
+Semantics match the reference (models/PWCNet/core_costvol.py:20-40): for each
+displacement (dy, dx) in a (2r+1)^2 window the per-pixel cost is the
+channel-mean dot product between `c1` and the shifted `warp`, scanned in
+row-major displacement order and passed through LeakyReLU(0.1).
+
+Two implementations:
+  * `cost_volume`        — pure-XLA: one padded tensor, 81 static slices,
+                           fused multiply-reduce. XLA keeps this entirely in
+                           registers/VMEM per tile; already decent.
+  * `cost_volume_pallas` — fused Pallas kernel that reads `warp` once per
+                           output tile instead of 81 times; the main
+                           bandwidth lever (see ops/pallas/cost_volume_kernel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False):
+    """Correlation volume.
+
+    Args:
+        c1: (B, H, W, C) features of image 1.
+        warp: (B, H, W, C) warped features of image 2.
+        search_range: max displacement r; output has (2r+1)^2 channels.
+        use_pallas: dispatch to the fused Pallas TPU kernel.
+
+    Returns:
+        (B, H, W, (2r+1)^2) cost volume after LeakyReLU(0.1).
+    """
+    if use_pallas:
+        from .pallas.cost_volume_kernel import cost_volume_pallas
+
+        return cost_volume_pallas(c1, warp, search_range)
+    return _cost_volume_xla(c1, warp, search_range)
+
+
+def _cost_volume_xla(c1, warp, search_range: int):
+    r = search_range
+    b, h, w, c = c1.shape
+    padded = jnp.pad(warp, ((0, 0), (r, r), (r, r), (0, 0)))
+    inv_c = jnp.asarray(1.0 / c, dtype=c1.dtype)
+    costs = []
+    for dy in range(2 * r + 1):
+        for dx in range(2 * r + 1):
+            shifted = jax.lax.slice(
+                padded, (0, dy, dx, 0), (b, dy + h, dx + w, c)
+            )
+            costs.append(jnp.sum(c1 * shifted, axis=3) * inv_c)
+    vol = jnp.stack(costs, axis=3)
+    return jax.nn.leaky_relu(vol, negative_slope=0.1)
