@@ -8,9 +8,15 @@ Must run before the first `import jax` anywhere in the test session.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The installed TPU plugin overrides JAX_PLATFORMS at import time; force the
+# CPU backend explicitly so the virtual 8-device mesh is used.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

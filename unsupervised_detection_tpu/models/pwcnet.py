@@ -1,0 +1,135 @@
+"""PWCNet optical-flow backbone (frozen at train time).
+
+Reproduces the reference configuration (models/PWCNet/model_pwcnet.py:8-19,
+581-649): 6-level siamese feature pyramid (16/32/64/96/128/196 channels),
+coarse-to-fine estimation with backward warping, a search-range-4 cost
+volume, DenseNet-connected flow estimators (use_dense_cx), dilated context
+refinement at every level (use_res_cx), learned transposed-conv upsampling of
+flow and features between levels, and a final x4 bilinear upsample with a x4
+flow magnitude scale. Prediction level = 2.
+
+The cost volume and warping are the framework's Pallas-targeted ops
+(ops/cost_volume.py, ops/warp.py); everything else is MXU convolutions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.cost_volume import cost_volume
+from ..ops.resize import resize_bilinear
+from ..ops.warp import dense_image_warp
+from .layers import ConvTranspose2D, PWCConv
+
+PYRAMID_CHANNELS = (None, 16, 32, 64, 96, 128, 196)
+
+
+class FeaturePyramid(nn.Module):
+    """Siamese 6-level feature extractor (model_pwcnet.py:81-168).
+    Called once per image; weights shared by construction."""
+
+    pyr_lvls: int = 6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feats = []
+        for lvl in range(1, self.pyr_lvls + 1):
+            f = PYRAMID_CHANNELS[lvl]
+            x = PWCConv(f, 3, 2, dtype=self.dtype, name=f"conv{lvl}a")(x)
+            x = PWCConv(f, 3, 1, dtype=self.dtype, name=f"conv{lvl}aa")(x)
+            x = PWCConv(f, 3, 1, dtype=self.dtype, name=f"conv{lvl}b")(x)
+            feats.append(x)
+        return feats  # feats[i] is pyramid level i+1
+
+
+class FlowEstimator(nn.Module):
+    """Dense-connected optical-flow estimator head for one pyramid level
+    (model_pwcnet.py:345-506, use_dense_cx=True)."""
+
+    lvl: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate((128, 128, 96, 64, 32)):
+            act = PWCConv(f, 3, 1, dtype=self.dtype, name=f"conv{self.lvl}_{i}")(x)
+            x = jnp.concatenate([act, x], axis=3)
+        upfeat = x
+        flow = PWCConv(2, 3, 1, activation=None, dtype=self.dtype, name=f"flow{self.lvl}")(upfeat)
+        return upfeat, flow
+
+
+class ContextNet(nn.Module):
+    """Dilated context refinement (model_pwcnet.py:511-576, use_res_cx=True)."""
+
+    lvl: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, flow):
+        x = feat
+        dims = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
+        for i, (f, rate) in enumerate(dims, start=1):
+            x = PWCConv(f, 3, 1, rate=rate, dtype=self.dtype, name=f"dc_conv{self.lvl}{i}")(x)
+        x = PWCConv(2, 3, 1, rate=1, activation=None, dtype=self.dtype,
+                    name=f"dc_conv{self.lvl}7")(x)
+        return flow + x
+
+
+class PWCNet(nn.Module):
+    """Full coarse-to-fine flow network.
+
+    Input images in the framework's [-0.5, 0.5] normalization (shifted to
+    [0, 1] internally, matching adapt_x, model_pwcnet.py:39-56). Spatial size
+    must be divisible by 2**pyr_lvls (640x384 in the reference pipeline).
+    """
+
+    pyr_lvls: int = 6
+    flow_pred_lvl: int = 2
+    search_range: int = 4
+    dtype: jnp.dtype = jnp.float32
+    use_pallas_costvol: bool = False
+
+    @nn.compact
+    def __call__(self, img1, img2, return_pyramid: bool = False):
+        dt = self.dtype
+        featpyr = FeaturePyramid(self.pyr_lvls, dtype=dt, name="featpyr")
+        c1 = [None] + featpyr((img1 + 0.5).astype(dt))
+        c2 = [None] + featpyr((img2 + 0.5).astype(dt))
+
+        flow_pyr = []
+        up_flow = up_feat = None
+        flow_pred = None
+        for lvl in range(self.pyr_lvls, self.flow_pred_lvl - 1, -1):
+            if lvl == self.pyr_lvls:
+                corr = cost_volume(c1[lvl], c2[lvl], self.search_range,
+                                   use_pallas=self.use_pallas_costvol)
+                x = corr
+            else:
+                # Scale upsampled flow into this level's pixel units
+                # (model_pwcnet.py:616: 20 / 2**lvl).
+                scaler = 20.0 / 2**lvl
+                warped = dense_image_warp(c2[lvl], up_flow * scaler)
+                corr = cost_volume(c1[lvl], warped, self.search_range,
+                                   use_pallas=self.use_pallas_costvol)
+                x = jnp.concatenate([corr, c1[lvl], up_flow, up_feat], axis=3)
+
+            upfeat, flow = FlowEstimator(lvl, dtype=dt, name=f"estimator{lvl}")(x)
+            flow = ContextNet(lvl, dtype=dt, name=f"ctxt{lvl}")(upfeat, flow)
+            flow_pyr.append(flow)
+
+            if lvl != self.flow_pred_lvl:
+                up_flow = ConvTranspose2D(2, 4, 2, dtype=dt, name=f"up_flow{lvl}")(flow)
+                up_feat = ConvTranspose2D(2, 4, 2, dtype=dt, name=f"up_feat{lvl}")(upfeat)
+            else:
+                scaler = 2**self.flow_pred_lvl
+                size = (flow.shape[1] * scaler, flow.shape[2] * scaler)
+                flow_pred = resize_bilinear(flow.astype(jnp.float32), size) * scaler
+
+        if return_pyramid:
+            return flow_pred, flow_pyr
+        return flow_pred

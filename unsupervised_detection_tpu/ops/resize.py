@@ -47,6 +47,17 @@ def _source_positions(in_size, out_size, align_corners, scale=None, offset=0.0):
 
 
 @functools.lru_cache(maxsize=None)
+def bilinear_resize_weights_np(in_size: int, out_size: int, align_corners: bool = False,
+                               scale: float | None = None, offset: float = 0.0,
+                               clamp: tuple[float, float] | None = None) -> np.ndarray:
+    """Numpy variant of bilinear_resize_matrix (host-side TF-parity resize)."""
+    lo, hi = clamp if clamp is not None else (0.0, in_size - 1)
+    src = np.clip(_source_positions(in_size, out_size, align_corners, scale, offset), lo, hi)
+    k = np.arange(in_size, dtype=np.float64)
+    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - k[None, :]))
+    return w.astype(np.float32)
+
+
 def bilinear_resize_matrix(in_size: int, out_size: int, align_corners: bool = False,
                            scale: float | None = None, offset: float = 0.0,
                            clamp: tuple[float, float] | None = None):
@@ -59,29 +70,29 @@ def bilinear_resize_matrix(in_size: int, out_size: int, align_corners: bool = Fa
     window (TF resizes the cropped tensor, so its edge replication happens at
     the crop boundary, not the image boundary).
     """
-    lo, hi = clamp if clamp is not None else (0.0, in_size - 1)
-    src = np.clip(_source_positions(in_size, out_size, align_corners, scale, offset), lo, hi)
-    k = np.arange(in_size, dtype=np.float64)
-    w = np.maximum(0.0, 1.0 - np.abs(src[:, None] - k[None, :]))
-    return jnp.asarray(w, dtype=jnp.float32)
+    return jnp.asarray(
+        bilinear_resize_weights_np(in_size, out_size, align_corners, scale, offset, clamp)
+    )
 
 
 @functools.lru_cache(maxsize=None)
+def nearest_resize_index_np(in_size: int, out_size: int, align_corners: bool = False,
+                            scale: float | None = None, offset: float = 0.0,
+                            clamp: tuple[float, float] | None = None) -> np.ndarray:
+    """Source index per output index for TF1-legacy nearest-neighbor resize:
+    floor(src) (round(src) with align_corners), clamped to the valid range."""
+    lo, hi = clamp if clamp is not None else (0.0, in_size - 1)
+    src = _source_positions(in_size, out_size, align_corners, scale, offset)
+    idx = np.rint(src) if align_corners else np.floor(src)
+    return np.clip(idx, lo, hi).astype(np.int64)
+
+
 def nearest_resize_matrix(in_size: int, out_size: int, align_corners: bool = False,
                           scale: float | None = None, offset: float = 0.0,
                           clamp: tuple[float, float] | None = None):
-    """(out_size, in_size) one-hot nearest-neighbor matrix, TF1 legacy semantics.
-
-    TF1 ResizeNearestNeighbor uses floor(src) without align_corners and
-    round(src) with align_corners, clamped to the valid range.
-    """
-    lo, hi = clamp if clamp is not None else (0.0, in_size - 1)
-    src = _source_positions(in_size, out_size, align_corners, scale, offset)
-    if align_corners:
-        idx = np.rint(src)
-    else:
-        idx = np.floor(src)
-    idx = np.clip(idx, lo, hi).astype(np.int64)
+    """(out_size, in_size) one-hot nearest-neighbor matrix, TF1 legacy
+    semantics (see nearest_resize_index_np)."""
+    idx = nearest_resize_index_np(in_size, out_size, align_corners, scale, offset, clamp)
     w = np.zeros((out_size, in_size), dtype=np.float32)
     w[np.arange(out_size), idx] = 1.0
     return jnp.asarray(w)
@@ -142,7 +153,6 @@ def central_crop_fraction_box(in_size: int, fraction: float) -> tuple[int, int]:
     return start, length
 
 
-@functools.lru_cache(maxsize=None)
 def _central_crop_resize_matrix(in_size: int, fraction: float, method: str):
     """Matrix performing central_crop(fraction) followed by legacy resize back
     to `in_size` (the reference's `central_cropping`,

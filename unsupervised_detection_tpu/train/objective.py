@@ -1,0 +1,149 @@
+"""The contextual-information-separation objective as pure functions.
+
+Reproduces the loss construction of the reference learner
+(models/adversarial_learner.py:72-204):
+
+  flow   = PWC(I1, I2) at reader resolution, resized (vectors NOT rescaled —
+           the reference keeps flow in reader-resolution pixel units,
+           adversarial_learner.py:89-90) and divided by flow_normalizer;
+  M      = G(I1, standardize(flow));         Mc = 1 - M
+  F_hat  = R(I1, flow*(1-M), M)
+  F_hatc = R(I1, flow*(1-Mc), Mc)
+  F_img  = R(I1, 0, 1)                       (image-only prior)
+
+  recover_loss   = (rho(F_hat,F,M) + rho(F_hatc,F,Mc) + rho(F_img,F,1)) / BHW
+  generator_loss = mean(1 - rho(F_hat,F,M)/(rho(F_img,F,M)+eps))
+                 + mean(1 - rho(F_hatc,F,Mc)/(rho(F_img,F,Mc)+eps))
+
+with rho the per-sample masked Charbonnier sum (ops/losses.py). The
+generator MINIMIZES generator_loss, i.e. maximizes the recover's normalized
+error inside the mask: contextual information separation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import GeneratorNet, PWCNet, RecoverNet
+from ..ops.flow import standardize_flow
+from ..ops.losses import charbonnier_loss
+from ..ops.metrics import compute_all_iou
+from ..ops.resize import resize_bilinear, resize_nearest
+
+
+class ForwardOutputs(NamedTuple):
+    losses: Dict[str, jnp.ndarray]
+    image: jnp.ndarray
+    flow: jnp.ndarray
+    mask: jnp.ndarray
+    flow_masked: jnp.ndarray
+    pred_flow: jnp.ndarray
+    pred_flow_compl: jnp.ndarray
+
+
+class AdversarialObjective:
+    """Binds the three networks and the config into pure loss functions."""
+
+    def __init__(self, config: Config):
+        self.config = config
+        dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dtype
+        self.generator = GeneratorNet(dtype=dtype)
+        self.recover = RecoverNet(dtype=dtype)
+        self.pwc = PWCNet(dtype=dtype, use_pallas_costvol=config.use_pallas)
+
+    # --- network applications -------------------------------------------
+    def compute_flow(self, pwc_params, img1, img2):
+        """Frozen PWC flow at reader resolution (no gradients flow back)."""
+        flow = self.pwc.apply({"params": pwc_params}, img1, img2)
+        return jax.lax.stop_gradient(flow)
+
+    def resize_to_working(self, img1, flow):
+        """Resize image & flow to the working resolution; normalize flow.
+
+        Flow vectors intentionally keep reader-resolution pixel units
+        (adversarial_learner.py:87-97)."""
+        cfg = self.config
+        size = (cfg.img_height, cfg.img_width)
+        image = resize_bilinear(img1, size)
+        flow = resize_bilinear(flow, size) / cfg.flow_normalizer
+        return image, flow
+
+    def generate_mask(self, gen_params, gen_stats, image, flow):
+        return self.generator.apply(
+            {"params": gen_params, "batch_stats": gen_stats},
+            image, standardize_flow(flow),
+        )
+
+    # --- losses -----------------------------------------------------------
+    def losses_from_flow(self, gen_params, gen_stats, rec_params, image, flow) -> ForwardOutputs:
+        """All two-player losses given the working-resolution image & flow."""
+        cfg = self.config
+        mask = self.generate_mask(gen_params, gen_stats, image, flow)
+        mask_c = 1.0 - mask
+
+        flow_masked = flow * (1.0 - mask)
+        flow_masked_c = flow * (1.0 - mask_c)
+
+        rec = lambda fm, m: self.recover.apply({"params": rec_params}, image, fm, m)
+        pred = rec(flow_masked, mask)
+        pred_c = rec(flow_masked_c, mask_c)
+        pred_img = rec(jnp.zeros_like(flow), jnp.ones_like(mask))
+
+        cbn = cfg.cbn
+        rec_loss = charbonnier_loss(flow, pred, mask, cbn)            # [B]
+        rec_compl_loss = charbonnier_loss(flow, pred_c, mask_c, cbn)  # [B]
+        image_prior = charbonnier_loss(flow, pred_img, jnp.ones_like(flow), cbn)
+
+        num_pixels = cfg.img_width * cfg.img_height * image.shape[0]
+        recover_loss = (
+            jnp.sum(rec_loss) + jnp.sum(rec_compl_loss) + jnp.sum(image_prior)
+        ) / num_pixels
+
+        eps = cfg.epsilon
+        den = charbonnier_loss(flow, pred_img, mask, cbn) + eps
+        red_rate_object = jnp.mean(1.0 - rec_loss / den)
+        den_c = charbonnier_loss(flow, pred_img, mask_c, cbn) + eps
+        red_rate_compl = jnp.mean(1.0 - rec_compl_loss / den_c)
+        generator_loss = red_rate_object + red_rate_compl
+
+        losses = {
+            "generator": generator_loss,
+            "recover": recover_loss,
+            "red_rate": red_rate_object,
+            "red_rate_compl": red_rate_compl,
+            "reconstruction_loss": rec_loss[0],
+            "reconstruction_compl_loss": rec_compl_loss[0],
+            "denominator_red_rate": den[0],
+            "denominator_red_rate_compl": den_c[0],
+        }
+        return ForwardOutputs(
+            losses=losses,
+            image=image,
+            flow=flow,
+            mask=mask,
+            flow_masked=flow_masked,
+            pred_flow=pred * mask + flow * (1.0 - mask),
+            pred_flow_compl=pred * mask_c + flow * (1.0 - mask_c),
+        )
+
+    def forward(self, gen_params, gen_stats, rec_params, pwc_params, img1, img2) -> ForwardOutputs:
+        """Full train/val forward from reader-resolution frames."""
+        flow = self.compute_flow(pwc_params, img1, img2)
+        image, flow = self.resize_to_working(img1, flow)
+        return self.losses_from_flow(gen_params, gen_stats, rec_params, image, flow)
+
+    # --- validation -------------------------------------------------------
+    def validation_iou(self, gen_params, gen_stats, pwc_params, img1, img2, gt_masks):
+        """Sum of per-sample IoU on a validation batch
+        (adversarial_learner.py:133-137)."""
+        cfg = self.config
+        flow = self.compute_flow(pwc_params, img1, img2)
+        image, flow = self.resize_to_working(img1, flow)
+        gt = resize_nearest(gt_masks, (cfg.img_height, cfg.img_width))
+        mask = self.generate_mask(gen_params, gen_stats, image, flow)
+        return compute_all_iou(pred_masks=mask, gt_masks=gt)
