@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Benchmark: flow+mask inference throughput (frames/sec) on TPU.
+
+This is the reference pipeline's benchmarked configuration (BASELINE.json:
+"DAVIS2016 raw inference" — PWCNet flow at 640x384 + generator mask at
+384x192 per frame pair). The reference publishes no throughput numbers
+(BASELINE.md); the north star is >=10x an estimated TF1-era single-GPU
+throughput. We document the assumed TF1-GPU baseline as 25 frames/sec
+(PWC-Net small runs ~30-40 fps at this resolution on a 2019 GPU in TF1, and
+the reference adds the generator forward on top), and report
+vs_baseline = fps / 25.0 so the driver can track the 10x goal as
+vs_baseline >= 10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+ASSUMED_TF1_GPU_FPS = 25.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unsupervised_detection_tpu.config import Config
+    from unsupervised_detection_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    from unsupervised_detection_tpu.train.objective import AdversarialObjective
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+
+    cfg = Config(batch_size=batch, compute_dtype=compute_dtype)
+    obj = AdversarialObjective(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    r_gen, r_pwc = jax.random.split(rng)
+    img_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 3), jnp.float32)
+    flow_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 2), jnp.float32)
+    img_r = jnp.zeros((1, cfg.reader_height, cfg.reader_width, 3), jnp.float32)
+    gen_vars = obj.generator.init(r_gen, img_w, flow_w)
+    pwc_vars = obj.pwc.init(r_pwc, img_r, img_r)
+
+    @jax.jit
+    def forward(gen_params, gen_stats, pwc_params, img1, img2):
+        flow = obj.compute_flow(pwc_params, img1, img2)
+        image, flow_n = obj.resize_to_working(img1, flow)
+        mask = obj.generate_mask(gen_params, gen_stats, image, flow_n)
+        # Scalar checksum: fetching it forces completion of the whole batch
+        # (block_until_ready is unreliable through the remote-TPU tunnel).
+        return mask, jnp.sum(mask)
+
+    rs = np.random.RandomState(0)
+    img1 = jnp.asarray(
+        rs.rand(batch, cfg.reader_height, cfg.reader_width, 3).astype(np.float32) - 0.5
+    )
+    img2 = jnp.asarray(
+        rs.rand(batch, cfg.reader_height, cfg.reader_width, 3).astype(np.float32) - 0.5
+    )
+    args = (gen_vars["params"], gen_vars["batch_stats"], pwc_vars["params"], img1, img2)
+
+    # Warmup/compile (fetch the checksum to force execution end-to-end).
+    float(forward(*args)[1])
+
+    # Roundtrip latency of a sync alone, to subtract from the timed window.
+    t0 = time.perf_counter()
+    float(forward(*args)[1])
+    roundtrip_plus_step = time.perf_counter() - t0
+
+    iters = 20
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        checksum = None
+        for _ in range(iters):
+            checksum = forward(*args)[1]
+        float(checksum)  # device executes in order; last done => all done
+        best = min(best, (time.perf_counter() - t0) / iters)
+
+    fps = batch / best
+    print(json.dumps({
+        "metric": "davis2016_flow_mask_inference_fps",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / ASSUMED_TF1_GPU_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

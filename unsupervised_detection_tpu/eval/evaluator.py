@@ -1,0 +1,236 @@
+"""Batched, jitted evaluation — the test_generator path.
+
+Reproduces test_generator.py:42-132: per-frame mask inference with central
+cropping, boundary-score foreground disambiguation (numpy thresholds 0.1
+mask / 0.6 boundary), per-category IoU and MAE accumulation, the cyclic
+wrap-around of the final batch, and optional overlay PNG / .mat artifact
+dumps. The forward (PWC flow + generator + recover) is one jitted function
+sharded over the mesh's data axis; host code only does bookkeeping.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import TestPipeline, get_reader
+from ..ops.metrics import boundary_score as boundary_score_batched
+from ..ops.resize import central_crop_resize, resize_bilinear, resize_nearest
+from ..parallel.mesh import data_sharding, make_mesh, replicate
+from ..train.objective import AdversarialObjective
+
+DES_WIDTH = 640
+DES_HEIGHT = 384
+BOUNDARY_THRESHOLD = 0.6  # test_generator.py:16
+MASK_THRESHOLD = 0.1      # test_generator.py:19
+
+
+def compute_boundary_score_np(mask: np.ndarray) -> float:
+    """Reference numpy boundary score (general_utils.py:117-132)."""
+    h, w = mask.shape[0], mask.shape[1]
+    strips = [mask[0:2], mask[h - 2 : h], mask[:, 0:2], mask[:, w - 2 : w]]
+    occ = sum(float(np.sum(s)) for s in strips)
+    total = sum(s.size for s in strips)
+    return occ / total
+
+
+def compute_iou_np(gt_mask: np.ndarray, pred_mask_f: np.ndarray,
+                   threshold: float = MASK_THRESHOLD):
+    """Reference compute_IoU (test_generator.py:19-35): binarize, pick the
+    side of the mask occupying < 60% of the border as foreground, IoU."""
+    gt = gt_mask.astype(bool)
+    pred = pred_mask_f > threshold
+    if compute_boundary_score_np(pred) < BOUNDARY_THRESHOLD:
+        annotation = pred
+    else:
+        annotation = np.logical_not(pred)
+    if np.isclose(np.sum(annotation), 0) and np.isclose(np.sum(gt), 0):
+        return 1.0, annotation
+    return (
+        np.sum(annotation & gt) / np.sum(annotation | gt, dtype=np.float32),
+        annotation,
+    )
+
+
+def compute_mae_np(gt_mask: np.ndarray, pred_mask: np.ndarray) -> float:
+    return float(np.mean(np.abs(gt_mask.astype(np.float32) - pred_mask)))
+
+
+class Evaluator:
+    """Owns the jitted inference step for one config."""
+
+    def __init__(self, config: Config, mesh=None):
+        self.config = config
+        self.objective = AdversarialObjective(config)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_data=config.mesh_data or None, n_model=config.mesh_model
+        )
+        self._build()
+
+    def _build(self):
+        cfg = self.config
+        obj = self.objective
+
+        def infer(gen_params, gen_stats, rec_params, pwc_params, img1, img2, gt):
+            # Reference order: reader resize (done), central crop, PWC flow,
+            # working resize, mask + recover (build_test_graph,
+            # adversarial_learner.py:450-523).
+            if cfg.test_crop != 1.0:
+                img1 = central_crop_resize(img1, cfg.test_crop)
+                img2 = central_crop_resize(img2, cfg.test_crop)
+                gt = central_crop_resize(gt, cfg.test_crop)
+            flow = obj.compute_flow(pwc_params, img1, img2)
+            image, flow = obj.resize_to_working(img1, flow)
+            gt = resize_nearest(gt, (cfg.img_height, cfg.img_width))
+            mask = obj.generate_mask(gen_params, gen_stats, image, flow)
+            flow_masked = flow * (1.0 - mask)
+            pred_flow = obj.recover.apply(
+                {"params": rec_params}, image, flow_masked, mask
+            )
+            return {
+                "gen_masks": mask,
+                "pred_flow": pred_flow,
+                "input_image": image,
+                "gt_flow": flow,
+                "gt_masks": gt,
+            }
+
+        shard = data_sharding(self.mesh)
+        repl = replicate(self.mesh)
+        self.infer = jax.jit(
+            infer,
+            in_shardings=(repl, repl, repl, repl, shard, shard, shard),
+            out_shardings=shard,
+        )
+
+        def preprocess(img_raw):
+            x = img_raw.astype(jnp.float32) / 255.0 - 0.5
+            return resize_bilinear(x, (cfg.reader_height, cfg.reader_width))
+
+        def preprocess_mask(gt_raw):
+            m = gt_raw.astype(jnp.float32) / 255.0
+            return resize_nearest(m, (cfg.reader_height, cfg.reader_width))
+
+        self.preprocess = jax.jit(preprocess, in_shardings=shard, out_shardings=shard)
+        self.preprocess_mask = jax.jit(preprocess_mask, in_shardings=shard, out_shardings=shard)
+
+    def device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        """Raw/host batch -> reader-resolution device tensors."""
+        shard = data_sharding(self.mesh)
+        if "img1_raw" in batch:
+            img1 = self.preprocess(jax.device_put(batch["img1_raw"], shard))
+            img2 = self.preprocess(jax.device_put(batch["img2_raw"], shard))
+            gt = self.preprocess_mask(jax.device_put(batch["gt_raw"], shard))
+        else:
+            img1 = jax.device_put(batch["img1"], shard)
+            img2 = jax.device_put(batch["img2"], shard)
+            gt = jax.device_put(batch["gt"], shard)
+        return img1, img2, gt
+
+
+def evaluate_dataset(config: Config, state, save_dir: Optional[str] = None,
+                     generate_visualization: bool = False, verbose: bool = True):
+    """Full dataset evaluation; returns the metrics dict
+    (test_generator.py:42-132)."""
+    reader = get_reader(config.dataset, config.root_dir,
+                        max_temporal_len=config.max_temporal_len,
+                        min_temporal_len=config.min_temporal_len,
+                        num_threads=1)
+    evaluator = Evaluator(config)
+
+    if config.dataset == "FBMS":
+        tuples = reader.test_tuples(config.test_partition, config.test_temporal_shift)
+        pipeline = TestPipeline(
+            None, config.batch_size, config.test_temporal_shift,
+            reader_hw=(config.reader_height, config.reader_width),
+            raw_hw=None, num_threads=config.num_threads, explicit_tuples=tuples,
+        )
+    else:
+        partition = config.test_partition if config.dataset == "DAVIS2016" else "all"
+        ds = reader.dataset(partition)
+        raw_hw = (
+            (reader.raw_height, reader.raw_width)
+            if reader.raw_height is not None else None
+        )
+        pipeline = TestPipeline(
+            ds, config.batch_size, config.test_temporal_shift,
+            reader_hw=(config.reader_height, config.reader_width),
+            raw_hw=raw_hw, num_threads=config.num_threads,
+        )
+
+    category_iou: Dict[str, list] = {}
+    category_mae: Dict[str, list] = {}
+    i = 0
+    for batch in pipeline:
+        img1, img2, gt = evaluator.device_batch(batch)
+        out = evaluator.infer(
+            state.gen_params, state.gen_stats, state.rec_params, state.pwc_params,
+            img1, img2, gt,
+        )
+        out = jax.tree.map(np.asarray, out)
+        for b in range(out["input_image"].shape[0]):
+            mask = out["gen_masks"][b]
+            gt_mask = out["gt_masks"][b]
+            category = batch["category"][b]
+            iou, out_mask = compute_iou_np(gt_mask=gt_mask, pred_mask_f=mask)
+            mae = compute_mae_np(gt_mask=gt_mask, pred_mask=out_mask)
+            category_iou.setdefault(category, []).append(iou)
+            category_mae.setdefault(category, []).append(mae)
+
+            if generate_visualization and save_dir:
+                cat_dir = os.path.join(save_dir, category)
+                os.makedirs(cat_dir, exist_ok=True)
+                frame_id = len(category_iou[category])
+                bgr = cv2.cvtColor(
+                    ((out["input_image"][b] + 0.5) * 255).astype(np.uint8),
+                    cv2.COLOR_RGB2BGR,
+                )
+                mask_rgb = np.concatenate(
+                    [np.zeros_like(out_mask, np.uint8),
+                     (out_mask * 255).astype(np.uint8),
+                     np.zeros_like(out_mask, np.uint8)], axis=-1
+                )
+                overlay = cv2.addWeighted(bgr, 0.5, mask_rgb, 0.4, 0)
+                overlay = cv2.resize(overlay, (DES_WIDTH, DES_HEIGHT))
+                cv2.imwrite(os.path.join(cat_dir, "frame_%08d.png" % frame_id), overlay)
+                import scipy.io as sio
+
+                sio.savemat(
+                    os.path.join(cat_dir, "result_%d.mat" % frame_id),
+                    {
+                        "flow": out["gt_flow"][b],
+                        "img1": (out["input_image"][b] + 0.5),
+                        "pred_mask": out_mask.astype(np.float64),
+                        "gt_mask": gt_mask,
+                    },
+                )
+            i += 1
+
+    tot_ious = tot_maes = 0.0
+    per_cat_iou = []
+    for cat, list_iou in category_iou.items():
+        if verbose:
+            print("Category {}: IoU is {} and MAE is {}".format(
+                cat, np.mean(list_iou), np.mean(category_mae[cat])))
+        tot_ious += np.sum(list_iou)
+        tot_maes += np.sum(category_mae[cat])
+        per_cat_iou.append(np.mean(list_iou))
+    results = {
+        "dataset_iou": tot_ious / float(i),
+        "dataset_mae": tot_maes / float(i),
+        "sequence_iou": float(np.mean(per_cat_iou)),
+        "category_iou": {k: float(np.mean(v)) for k, v in category_iou.items()},
+        "frames": i,
+    }
+    if verbose:
+        print("The Average over the dataset: IoU is {} and MAE is {}".format(
+            results["dataset_iou"], results["dataset_mae"]))
+        print("The Average over sequences IoU is {}".format(results["sequence_iou"]))
+        print("Success: Processed {} frames".format(i))
+    return results

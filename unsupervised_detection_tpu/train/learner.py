@@ -189,6 +189,23 @@ class AdversarialLearner:
             out_shardings=repl,
         )
 
+        from ..ops.resize import resize_bilinear, resize_nearest
+
+        def preprocess(img_raw):
+            """uint8 raw frames -> [-0.5, 0.5] reader-resolution floats
+            (reference preprocess_image, davis2016_data_utils.py:86-91)."""
+            x = img_raw.astype(jnp.float32) / 255.0 - 0.5
+            return resize_bilinear(x, (cfg.reader_height, cfg.reader_width))
+
+        def preprocess_mask(gt_raw):
+            m = gt_raw.astype(jnp.float32) / 255.0
+            return resize_nearest(m, (cfg.reader_height, cfg.reader_width))
+
+        self.preprocess = jax.jit(preprocess, in_shardings=batch_shard,
+                                  out_shardings=batch_shard)
+        self.preprocess_mask = jax.jit(preprocess_mask, in_shardings=batch_shard,
+                                       out_shardings=batch_shard)
+
     # --- schedule -----------------------------------------------------------
     def select_step(self, sub_step: int):
         """The reference alternation (adversarial_learner.py:386-389):
