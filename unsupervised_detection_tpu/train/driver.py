@@ -42,6 +42,9 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
         max_cycles: optional hard cap on alternation cycles (testing hook).
     """
     np.random.seed(config.seed)
+    if config.debug_nans:
+        # NaN guard (SURVEY.md 5.2): fail fast inside jitted steps.
+        jax.config.update("jax_debug_nans", True)
 
     reader = get_reader(config.dataset, config.root_dir,
                         max_temporal_len=config.max_temporal_len,
@@ -145,6 +148,10 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
                 gs = int(state.step)
                 for key, value in losses.items():
                     writer.add_scalar(key, float(value), gs)
+                images = learner.summary_images(state, img1, img2)
+                for key, img in images.items():
+                    arr = np.clip(np.asarray(img)[0] + 0.5, 0.0, 1.0)
+                    writer.add_image(key, arr, gs, dataformats="HWC")
 
         if sub_step % steps_per_epoch == 0:
             epoch = sub_step // steps_per_epoch

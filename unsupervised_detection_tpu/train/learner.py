@@ -189,6 +189,34 @@ class AdversarialLearner:
             out_shardings=repl,
         )
 
+        def summary_images(state: TrainState, img1, img2):
+            """Image summaries of one batch (reference collect_summaries,
+            adversarial_learner.py:260-281): inputs, Middlebury-colorized PWC
+            flow, masked flow, recovered flow and its complement. Uses the
+            first batch element only; fully on device."""
+            from ..ops.flow import flow_to_image_summary
+            from ..ops.metrics import disambiguate_forward_background
+
+            out = obj.forward(
+                state.gen_params, state.gen_stats, state.rec_params,
+                state.pwc_params, img1, img2,
+            )
+            first = lambda x: x[0:1]
+            pwc_viz = flow_to_image_summary(first(out.flow))
+            fg = disambiguate_forward_background(first(out.mask))
+            return {
+                "input_image": first(out.image),
+                "next_image": first(resize_bilinear(img2, (cfg.img_height, cfg.img_width))),
+                "masked_flow": pwc_viz * (1.0 - fg),
+                "PWC_Flow": pwc_viz,
+                "Rec_flow": flow_to_image_summary(first(out.pred_flow)),
+                "Rec_flow_compl": flow_to_image_summary(first(out.pred_flow_compl)),
+            }
+
+        self.summary_images = jax.jit(
+            summary_images, in_shardings=(repl, batch_shard, batch_shard),
+        )
+
         from ..ops.resize import resize_bilinear, resize_nearest
 
         def preprocess(img_raw):
