@@ -47,16 +47,20 @@ def dense_image_warp(image, flow):
     iy = floor_y.astype(jnp.int32)
     ix = floor_x.astype(jnp.int32)
 
-    flat = image.reshape(b, h * w, c)
+    # One flattened take over (B*H*W) rows per tap: measured fastest of the
+    # XLA gather formulations on TPU (tools/bench_warp_variants.py) — the
+    # whole-array linear index avoids the batched-gather slow path.
+    boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    flat = image.reshape(b * h * w, c)
+    lin = boff + iy * w + ix
 
-    def gather(y_idx, x_idx):
-        lin = (y_idx * w + x_idx).reshape(b, h * w)
-        return jnp.take_along_axis(flat, lin[..., None], axis=1).reshape(b, h, w, c)
+    def gather(offset):
+        return jnp.take(flat, (lin + offset).reshape(-1), axis=0).reshape(b, h, w, c)
 
-    top_left = gather(iy, ix)
-    top_right = gather(iy, ix + 1)
-    bottom_left = gather(iy + 1, ix)
-    bottom_right = gather(iy + 1, ix + 1)
+    top_left = gather(0)
+    top_right = gather(1)
+    bottom_left = gather(w)
+    bottom_right = gather(w + 1)
 
     interp_top = alpha_x * (top_right - top_left) + top_left
     interp_bottom = alpha_x * (bottom_right - bottom_left) + bottom_left

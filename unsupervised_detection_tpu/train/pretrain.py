@@ -1,0 +1,150 @@
+"""Recover-net pretraining: flow inpainting of random box occlusions.
+
+The reference repo ships only the resulting checkpoint ("Recover pretrain:
+flow inpainting of box occlusions on FlyingChairs", BASELINE.json configs;
+README.md:83-87) — the training procedure itself is not in the repo. This
+module provides it TPU-natively: given frame pairs from any reader (or a
+FlyingChairs-style directory with ground-truth .flo files), the recover net
+is trained to reconstruct the flow inside randomly placed box masks, with
+the same losses/optimizer family as the adversarial stage.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..data import TrainPipeline, get_reader
+from ..ops.losses import charbonnier_loss
+from ..parallel.mesh import data_sharding, make_mesh, replicate
+from . import checkpoint as ckpt
+from .objective import AdversarialObjective
+
+
+def random_box_masks(rng, batch, height, width, min_frac=0.15, max_frac=0.45):
+    """(B, H, W, 1) masks with one random box of 1s per sample."""
+    r_h, r_w, r_y, r_x = jax.random.split(rng, 4)
+    bh = height * (min_frac + jax.random.uniform(r_h, (batch,)) * (max_frac - min_frac))
+    bw = width * (min_frac + jax.random.uniform(r_w, (batch,)) * (max_frac - min_frac))
+    y0 = jax.random.uniform(r_y, (batch,)) * (height - bh)
+    x0 = jax.random.uniform(r_x, (batch,)) * (width - bw)
+    yy = jax.lax.broadcasted_iota(jnp.float32, (batch, height, width), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (batch, height, width), 2)
+    inside = (
+        (yy >= y0[:, None, None]) & (yy < (y0 + bh)[:, None, None])
+        & (xx >= x0[:, None, None]) & (xx < (x0 + bw)[:, None, None])
+    )
+    return inside.astype(jnp.float32)[..., None]
+
+
+def pretrain_recover(config: Config, steps: int, verbose: bool = True,
+                     save_every: int = 1000):
+    """Train the recover net on box-occlusion inpainting; returns params."""
+    mesh = make_mesh(n_data=config.mesh_data or None, n_model=config.mesh_model)
+    obj = AdversarialObjective(config)
+    optimizer = optax.adam(config.learning_rate, b1=config.beta1,
+                           eps=config.adam_epsilon)
+
+    rng = jax.random.PRNGKey(config.seed)
+    r_rec, r_pwc, r_loop = jax.random.split(rng, 3)
+    img_w = jnp.zeros((1, config.img_height, config.img_width, 3))
+    flow_w = jnp.zeros((1, config.img_height, config.img_width, 2))
+    mask_w = jnp.zeros((1, config.img_height, config.img_width, 1))
+    img_r = jnp.zeros((1, config.reader_height, config.reader_width, 3))
+    rec_params = obj.recover.init(r_rec, img_w, flow_w, mask_w)["params"]
+    pwc_params = obj.pwc.init(r_pwc, img_r, img_r)["params"]
+    if config.flow_ckpt:
+        from . import tf1_import
+
+        if tf1_import.is_tf_checkpoint(config.flow_ckpt):
+            class _S:  # minimal shim for restore_tf1_scope
+                pass
+
+            reader = tf1_import._load_reader(config.flow_ckpt)
+            pwc_params = tf1_import._fill(
+                pwc_params, tf1_import.pwc_name_map(pwc_params), reader)
+
+    opt_state = optimizer.init(rec_params)
+
+    shard = data_sharding(mesh)
+    repl = replicate(mesh)
+
+    def step_fn(rec_params, opt_state, rng, img1, img2):
+        rng, r_mask = jax.random.split(rng)
+        flow = obj.compute_flow(pwc_params, img1, img2)
+        image, flow = obj.resize_to_working(img1, flow)
+        mask = random_box_masks(
+            r_mask, image.shape[0], config.img_height, config.img_width)
+
+        def loss_fn(p):
+            pred = obj.recover.apply({"params": p}, image, flow * (1.0 - mask), mask)
+            total = charbonnier_loss(flow, pred, jnp.ones_like(flow), config.cbn)
+            per_px = jnp.sum(total) / (
+                config.img_height * config.img_width * image.shape[0])
+            return per_px
+
+        loss, grads = jax.value_and_grad(loss_fn)(rec_params)
+        grads = jax.tree.map(
+            lambda g: jnp.clip(g, -config.gradient_clip, config.gradient_clip), grads)
+        updates, opt_state2 = optimizer.update(grads, opt_state, rec_params)
+        return optax.apply_updates(rec_params, updates), opt_state2, rng, loss
+
+    step_jit = jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, shard, shard),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+    reader = get_reader(config.dataset, config.root_dir,
+                        max_temporal_len=config.max_temporal_len,
+                        min_temporal_len=config.min_temporal_len,
+                        num_threads=config.num_threads)
+    ds = reader.dataset(config.train_partition)
+    raw_hw = ((reader.raw_height, reader.raw_width)
+              if reader.raw_height is not None else None)
+    pipe = TrainPipeline(
+        ds, config.batch_size, config.min_temporal_len, config.max_temporal_len,
+        reader_hw=(config.reader_height, config.reader_width),
+        raw_hw=raw_hw, num_threads=config.num_threads, seed=config.seed,
+    )
+
+    from .learner import AdversarialLearner  # device preprocess helper
+
+    it = iter(pipe)
+    loop_rng = jax.device_put(r_loop, repl)
+    preprocess = None
+    for step in range(1, steps + 1):
+        batch = next(it)
+        if "img1_raw" in batch:
+            if preprocess is None:
+                from ..ops.resize import resize_bilinear
+
+                def _pp(x):
+                    return resize_bilinear(
+                        x.astype(jnp.float32) / 255.0 - 0.5,
+                        (config.reader_height, config.reader_width))
+
+                preprocess = jax.jit(_pp, in_shardings=shard, out_shardings=shard)
+            img1 = preprocess(jax.device_put(batch["img1_raw"], shard))
+            img2 = preprocess(jax.device_put(batch["img2_raw"], shard))
+        else:
+            img1 = jax.device_put(batch["img1"], shard)
+            img2 = jax.device_put(batch["img2"], shard)
+        rec_params, opt_state, loop_rng, loss = step_jit(
+            rec_params, opt_state, loop_rng, img1, img2)
+        if verbose and step % 20 == 0:
+            print("step %d: inpainting loss %.5f" % (step, float(loss)))
+        if config.checkpoint_dir and step % save_every == 0:
+            ckpt.save_checkpoint(config.checkpoint_dir, f"recover-{step}", rec_params)
+
+    if config.checkpoint_dir:
+        ckpt.save_checkpoint(config.checkpoint_dir, "recover-final", rec_params)
+    return rec_params
