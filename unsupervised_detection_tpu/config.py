@@ -63,6 +63,10 @@ class Config:
     grad_noise_threshold: float = 1e-5   # loss_utils.py:22
     compute_dtype: str = "float32"       # "bfloat16" for TPU throughput
     use_pallas: bool = False             # fused Pallas kernels for costvol
+    # PWC internal resolution divisor (1 = reference parity at 640x384;
+    # 2 runs the flow net at 320x192, ~3x less flow compute — the mask net
+    # consumes standardized flow, so magnitude rescaling cancels).
+    flow_resolution_divisor: int = 1
     mesh_data: int = 0                   # 0 = all devices on the data axis
     mesh_model: int = 1
     seed: int = 8964                     # train.py:18

@@ -95,7 +95,8 @@ class PWCNet(nn.Module):
     use_pallas_costvol: bool = False
 
     @nn.compact
-    def __call__(self, img1, img2, return_pyramid: bool = False):
+    def __call__(self, img1, img2, return_pyramid: bool = False,
+                 upsample_output: bool = True):
         dt = self.dtype
         featpyr = FeaturePyramid(self.pyr_lvls, dtype=dt, name="featpyr")
         c1 = [None] + featpyr((img1 + 0.5).astype(dt))
@@ -125,10 +126,15 @@ class PWCNet(nn.Module):
             if lvl != self.flow_pred_lvl:
                 up_flow = ConvTranspose2D(2, 4, 2, dtype=dt, name=f"up_flow{lvl}")(flow)
                 up_feat = ConvTranspose2D(2, 4, 2, dtype=dt, name=f"up_feat{lvl}")(upfeat)
-            else:
+            elif upsample_output:
                 scaler = 2**self.flow_pred_lvl
                 size = (flow.shape[1] * scaler, flow.shape[2] * scaler)
                 flow_pred = resize_bilinear(flow.astype(jnp.float32), size) * scaler
+            else:
+                # Quarter-resolution flow; caller fuses the x4 upsample with
+                # its own resize (ops/resize.resize_bilinear_composed) and
+                # applies the x4 magnitude scale.
+                flow_pred = flow.astype(jnp.float32)
 
         if return_pyramid:
             return flow_pred, flow_pyr

@@ -181,6 +181,30 @@ def central_crop_resize(x, fraction: float, method: str = "bilinear"):
                             _central_crop_resize_matrix(in_w, fraction, method))
 
 
+@functools.lru_cache(maxsize=None)
+def _composed_bilinear_weights_np(in_size: int, mid_size: int, out_size: int):
+    """Weights of resize(in->mid) followed by resize(mid->out), composed into
+    one (out, in) matrix. Both stages are linear, so the composition is the
+    matrix product — the result is EXACTLY the two-stage computation up to
+    fp32 summation order."""
+    w1 = bilinear_resize_weights_np(in_size, mid_size)
+    w2 = bilinear_resize_weights_np(mid_size, out_size)
+    return (w2.astype(np.float64) @ w1.astype(np.float64)).astype(np.float32)
+
+
+def resize_bilinear_composed(x, mid_hw, out_hw):
+    """Fused double resize: resize to mid_hw then to out_hw in one matmul
+    pair. Used to fuse PWC's x4 flow upsample with the working-resolution
+    downsample (adversarial_learner.py:87-97) without materializing the
+    full-resolution intermediate."""
+    mh, mw = mid_hw
+    oh, ow = out_hw
+    in_h, in_w = (x.shape[1], x.shape[2]) if x.ndim == 4 else (x.shape[0], x.shape[1])
+    wh = jnp.asarray(_composed_bilinear_weights_np(in_h, mh, oh))
+    ww = jnp.asarray(_composed_bilinear_weights_np(in_w, mw, ow))
+    return _apply_separable(x, wh, ww)
+
+
 def crop_resize_matrices(in_size: int, out_size: int, scale, offset,
                          clamp_lo=None, clamp_hi=None):
     """Traced-parameter bilinear crop+resize matrix (for random augmentation).

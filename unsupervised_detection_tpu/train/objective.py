@@ -32,7 +32,7 @@ from ..models import GeneratorNet, PWCNet, RecoverNet
 from ..ops.flow import standardize_flow
 from ..ops.losses import charbonnier_loss
 from ..ops.metrics import compute_all_iou
-from ..ops.resize import resize_bilinear, resize_nearest
+from ..ops.resize import resize_bilinear, resize_bilinear_composed, resize_nearest
 
 
 class ForwardOutputs(NamedTuple):
@@ -58,9 +58,29 @@ class AdversarialObjective:
 
     # --- network applications -------------------------------------------
     def compute_flow(self, pwc_params, img1, img2):
-        """Frozen PWC flow at reader resolution (no gradients flow back)."""
-        flow = self.pwc.apply({"params": pwc_params}, img1, img2)
+        """Frozen PWC flow (no gradients flow back).
+
+        In the fused-resize mode (bf16 throughput path) the flow stays at
+        quarter resolution; resize_to_working composes the x4 upsample with
+        the working-resolution downsample into one exact matmul.
+
+        With flow_resolution_divisor > 1 the flow net runs on downscaled
+        frames (non-parity throughput option)."""
+        d = self.config.flow_resolution_divisor
+        if d > 1:
+            size = (self.config.reader_height // d, self.config.reader_width // d)
+            assert size[0] % 64 == 0 and size[1] % 64 == 0, size
+            img1 = resize_bilinear(img1, size)
+            img2 = resize_bilinear(img2, size)
+        flow = self.pwc.apply(
+            {"params": pwc_params}, img1, img2,
+            upsample_output=not self.fuse_flow_resize,
+        )
         return jax.lax.stop_gradient(flow)
+
+    @property
+    def fuse_flow_resize(self) -> bool:
+        return self.dtype == jnp.bfloat16
 
     def resize_to_working(self, img1, flow):
         """Resize image & flow to the working resolution; normalize flow.
@@ -68,9 +88,21 @@ class AdversarialObjective:
         Flow vectors intentionally keep reader-resolution pixel units
         (adversarial_learner.py:87-97)."""
         cfg = self.config
+        d = cfg.flow_resolution_divisor
         size = (cfg.img_height, cfg.img_width)
         image = resize_bilinear(img1, size)
-        flow = resize_bilinear(flow, size) / cfg.flow_normalizer
+        if self.fuse_flow_resize:
+            # quarter-res flow -> working res in one composed resize; the
+            # reference's x4 magnitude upsample scale commutes with the
+            # resize, and the d-fold resolution reduction is compensated so
+            # flow values stay in reader-resolution pixel units.
+            mid = (cfg.reader_height // d, cfg.reader_width // d)
+            scale = 2**self.pwc.flow_pred_lvl * d
+            flow = resize_bilinear_composed(flow, mid, size) * (scale / cfg.flow_normalizer)
+        else:
+            if d > 1:
+                flow = flow * d
+            flow = resize_bilinear(flow, size) / cfg.flow_normalizer
         return image, flow
 
     def generate_mask(self, gen_params, gen_stats, image, flow):
