@@ -31,8 +31,10 @@ def standardize_flow(flow, epsilon: float = 0.0):
 
 
 @functools.lru_cache(maxsize=1)
-def _color_wheel():
-    """55x3 Middlebury color wheel (flow_utils.py:14-42)."""
+def _color_wheel_np():
+    """55x3 Middlebury color wheel (flow_utils.py:14-42), host array.
+    (Only the numpy array is cached: caching a jnp array would leak tracers
+    across jit traces.)"""
     ry, yg, gc, cb, bm, mr = 15, 6, 4, 11, 13, 6
     ncols = ry + yg + gc + cb + bm + mr
     wheel = np.zeros((ncols, 3))
@@ -54,7 +56,11 @@ def _color_wheel():
     col += bm
     wheel[col : col + mr, 2] = 255 - np.floor(255 * np.arange(mr) / mr)
     wheel[col : col + mr, 0] = 255
-    return jnp.asarray(wheel, dtype=jnp.float32)
+    return wheel.astype(np.float32)
+
+
+def _color_wheel():
+    return jnp.asarray(_color_wheel_np())
 
 
 def flow_to_image(flow):

@@ -104,6 +104,9 @@ def buffer_to_soft_score(buffer_path: str, out_path: str, max_shift: int = 2,
                     s_name = "pred_mask_%03d" % crop
                     s_b = np.squeeze(r_b[s_name]).astype(np.float64)
                     s_f = np.squeeze(r_f[s_name]).astype(np.float64)
+                    # frame size from the buffer itself (the reference
+                    # hardcodes 192x384; we support any working resolution)
+                    base_h, base_w = s_b.shape[0], s_b.shape[1]
 
                     sani_b = sanity_check(s_b)
                     sani_f = sanity_check(s_f)
@@ -122,8 +125,8 @@ def buffer_to_soft_score(buffer_path: str, out_path: str, max_shift: int = 2,
                     else:
                         ratio = crop / base_crop
                         contribution = (
-                            rectify_pred_mask(s_b, ratio)
-                            + rectify_pred_mask(s_f, ratio)
+                            rectify_pred_mask(s_b, ratio, base_h, base_w)
+                            + rectify_pred_mask(s_f, ratio, base_h, base_w)
                         )
                     score = contribution if score is None else score + contribution
 
