@@ -17,7 +17,7 @@ def _test_masks(config):
     import scipy.io as sio
 
     from unsupervised_detection_tpu.data import TestPipeline, get_reader
-    from unsupervised_detection_tpu.eval.ensemble import EnsembleEvaluator, TEST_CROPS
+    from unsupervised_detection_tpu.eval.ensemble import EnsembleEvaluator
     from unsupervised_detection_tpu.eval.evaluator import compute_iou_np, compute_mae_np
     from unsupervised_detection_tpu.train import AdversarialLearner
     from unsupervised_detection_tpu.train import checkpoint as ckpt

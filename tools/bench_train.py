@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Training-step throughput on TPU: full two-player alternation cycle.
+
+Times one 1:3 recover/generator cycle (4 sub-steps) of the jitted train
+steps at the reference configuration, including on-device augmentation.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unsupervised_detection_tpu.config import Config
+    from unsupervised_detection_tpu.train import AdversarialLearner
+    from unsupervised_detection_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
+    cfg = Config(batch_size=batch, compute_dtype=dtype, train_crop=0.6)
+    learner = AdversarialLearner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+
+    rs = np.random.RandomState(0)
+    img1 = jnp.asarray(rs.rand(batch, cfg.reader_height, cfg.reader_width, 3)
+                       .astype(np.float32) - 0.5)
+    img2 = jnp.asarray(rs.rand(batch, cfg.reader_height, cfg.reader_width, 3)
+                       .astype(np.float32) - 0.5)
+    img1, img2 = learner.shard((img1, img2))
+
+    def cycle(state):
+        for sub in range(1, 5):
+            state, losses = learner.select_step(sub)(state, img1, img2)
+        return state, losses
+
+    state, losses = cycle(state)  # compile both steps
+    float(losses["generator"])    # sync
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, losses = cycle(state)
+    float(losses["generator"])
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        "train cycle (1 rec + 3 gen, batch %d, %s): %.1f ms -> %.1f samples/s, "
+        "%.2f cycles/s" % (batch, dtype, dt * 1e3, 4 * batch / dt, 1 / dt)
+    )
+    # reference anchor: 40 epochs x 313 steps x 4 sub-steps
+    total_cycles = 40 * 313
+    print("full reference schedule estimate: %.1f minutes" % (total_cycles * dt / 60))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,7 +11,7 @@ image math. Frame decoding is the ONLY work that stays on host.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional
 
 import numpy as np
 

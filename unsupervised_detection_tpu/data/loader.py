@@ -20,14 +20,13 @@ from __future__ import annotations
 import collections
 import concurrent.futures as futures
 import functools
-import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import cv2
 import numpy as np
 
 from ..ops.resize import bilinear_resize_weights_np, nearest_resize_index_np
-from .base import PairIndex, SequenceDataset, test_pair_index, train_pair_index
+from .base import SequenceDataset, test_pair_index, train_pair_index
 
 
 def _imread_rgb(path: str) -> np.ndarray:

@@ -32,7 +32,8 @@ class EnsembleEvaluator:
         self.test_crops = list(test_crops or TEST_CROPS)
         self.objective = AdversarialObjective(config)
         self.mesh = mesh if mesh is not None else make_mesh(
-            n_data=config.mesh_data or None, n_model=config.mesh_model
+            n_data=config.mesh_data or None, n_model=config.mesh_model,
+            batch_size=config.batch_size,
         )
         self._build()
 

@@ -20,7 +20,6 @@ import numpy as np
 
 from ..config import Config
 from ..data import TestPipeline, get_reader
-from ..ops.metrics import boundary_score as boundary_score_batched
 from ..ops.resize import central_crop_resize, resize_bilinear, resize_nearest
 from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..train.objective import AdversarialObjective
@@ -69,7 +68,8 @@ class Evaluator:
         self.config = config
         self.objective = AdversarialObjective(config)
         self.mesh = mesh if mesh is not None else make_mesh(
-            n_data=config.mesh_data or None, n_model=config.mesh_model
+            n_data=config.mesh_data or None, n_model=config.mesh_model,
+            batch_size=config.batch_size,
         )
         self._build()
 

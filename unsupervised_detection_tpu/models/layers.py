@@ -9,7 +9,7 @@ checkpoint converter (train/tf1_import.py) is a pure name map.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

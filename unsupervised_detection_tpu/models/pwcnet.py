@@ -14,8 +14,6 @@ The cost volume and warping are the framework's Pallas-targeted ops
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -29,17 +29,22 @@ DEFAULT_MODEL_AXIS = "model"
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              devices=None) -> Mesh:
+              devices=None, batch_size: int | None = None) -> Mesh:
     """Create a ("data", "model") mesh over the available devices.
 
     Args:
         n_data: size of the data axis (defaults to len(devices) // n_model).
         n_model: size of the model axis (1 = pure data parallelism).
         devices: explicit device list (defaults to jax.devices()).
+        batch_size: if given, shrink the data axis to the largest divisor of
+            the batch (a batch that doesn't split evenly can't shard).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devices) // n_model
+    if batch_size is not None:
+        while n_data > 1 and batch_size % n_data != 0:
+            n_data -= 1
     use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, (DEFAULT_DATA_AXIS, DEFAULT_MODEL_AXIS))
 

@@ -23,7 +23,7 @@ correspondences from im_a's grid into im_b):
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import List, Sequence
 
 import cv2
 import numpy as np

@@ -12,7 +12,7 @@ we reproduce the bytescale + bilinear-uint8 behavior explicitly.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Sequence
 
 import cv2
 import numpy as np

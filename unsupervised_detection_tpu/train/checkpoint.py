@@ -12,7 +12,7 @@ PRNG key are all part of the tree).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

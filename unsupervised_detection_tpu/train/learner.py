@@ -19,8 +19,7 @@ TPU-native redesign of the reference AdversarialLearner
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +80,8 @@ class AdversarialLearner:
             eps=config.adam_epsilon,
         )
         self.mesh = mesh if mesh is not None else make_mesh(
-            n_data=config.mesh_data or None, n_model=config.mesh_model
+            n_data=config.mesh_data or None, n_model=config.mesh_model,
+            batch_size=config.batch_size,
         )
         self._build_steps()
 

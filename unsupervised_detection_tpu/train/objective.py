@@ -22,7 +22,7 @@ error inside the mask: contextual information separation.
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -11,13 +11,8 @@ the same losses/optimizer family as the adversarial stage.
 
 from __future__ import annotations
 
-import math
-import time
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import Config
@@ -47,7 +42,8 @@ def random_box_masks(rng, batch, height, width, min_frac=0.15, max_frac=0.45):
 def pretrain_recover(config: Config, steps: int, verbose: bool = True,
                      save_every: int = 1000):
     """Train the recover net on box-occlusion inpainting; returns params."""
-    mesh = make_mesh(n_data=config.mesh_data or None, n_model=config.mesh_model)
+    mesh = make_mesh(n_data=config.mesh_data or None, n_model=config.mesh_model,
+                     batch_size=config.batch_size)
     obj = AdversarialObjective(config)
     optimizer = optax.adam(config.learning_rate, b1=config.beta1,
                            eps=config.adam_epsilon)
@@ -64,9 +60,6 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
         from . import tf1_import
 
         if tf1_import.is_tf_checkpoint(config.flow_ckpt):
-            class _S:  # minimal shim for restore_tf1_scope
-                pass
-
             reader = tf1_import._load_reader(config.flow_ckpt)
             pwc_params = tf1_import._fill(
                 pwc_params, tf1_import.pwc_name_map(pwc_params), reader)
@@ -115,8 +108,6 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
         reader_hw=(config.reader_height, config.reader_width),
         raw_hw=raw_hw, num_threads=config.num_threads, seed=config.seed,
     )
-
-    from .learner import AdversarialLearner  # device preprocess helper
 
     it = iter(pipe)
     loop_rng = jax.device_put(r_loop, repl)

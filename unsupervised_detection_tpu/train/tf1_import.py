@@ -23,7 +23,6 @@ import os
 from typing import Dict, Tuple
 
 import jax
-import numpy as np
 
 # Creation order of the generator's top-level BN variables (nets.py:4-42);
 # the upsample blocks open a fresh variable scope, so their BN counters
