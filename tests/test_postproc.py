@@ -133,3 +133,20 @@ def test_propagate_masks_tracks_motion():
     for a in avgs:
         assert np.isfinite(a).all()
         assert a.max() <= 1.0 + 1e-6
+
+
+def test_native_crf_matches_numpy_engine():
+    native = pytest.importorskip("unsupervised_detection_tpu.native.densecrf")
+    h, w = 24, 32
+    rng = np.random.RandomState(7)
+    image = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    image[:, : w // 2] = (240, 40, 40)
+    p = np.clip(rng.rand(h, w), 1e-6, 1 - 1e-6)
+    unary = -np.log(np.stack([1 - p, p])).astype(np.float32)
+    q_np = dense_crf_binary(unary, image, 8.0, 5.0, 3.0, n_iterations=5,
+                            backend="numpy")
+    q_cc = native.dense_crf_binary(unary, image, 8.0, 5.0, 3.0, n_iterations=5)
+    # same lattice algorithm; small differences from float32 vs float64 math
+    assert np.abs(q_cc - q_np).max() < 5e-2
+    agree = (np.argmax(q_cc, 0) == np.argmax(q_np, 0)).mean()
+    assert agree > 0.99, agree

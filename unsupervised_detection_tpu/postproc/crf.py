@@ -33,15 +33,26 @@ REFINE_ITERATIONS = 50
 
 def dense_crf_binary(unary: np.ndarray, image: np.ndarray, sxy: float,
                      srgb: float, compat: float,
-                     n_iterations: int = REFINE_ITERATIONS) -> np.ndarray:
+                     n_iterations: int = REFINE_ITERATIONS,
+                     backend: str = "auto") -> np.ndarray:
     """2-label dense CRF mean field with a bilateral pairwise kernel.
 
     Args:
         unary: (2, H, W) negative log probabilities.
         image: (H, W, 3) uint8 RGB.
+        backend: "auto" (native C++ if built, else numpy), "native", "numpy".
     Returns:
         (2, H, W) final marginals Q.
     """
+    if backend in ("auto", "native"):
+        try:
+            from ..native import densecrf as native_crf
+
+            return native_crf.dense_crf_binary(
+                unary, image, sxy, srgb, compat, n_iterations)
+        except Exception:
+            if backend == "native":
+                raise
     h, w = image.shape[:2]
     n = h * w
     yy, xx = np.mgrid[0:h, 0:w]
