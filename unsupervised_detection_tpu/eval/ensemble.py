@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..ops.resize import central_crop_resize, resize_bilinear, resize_nearest
+from ..data.device_input import DeviceFeeder
+from ..ops.resize import central_crop_resize, resize_nearest
 from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..train.objective import AdversarialObjective
 
@@ -70,17 +71,7 @@ class EnsembleEvaluator:
             in_shardings=(repl, repl, repl, shard, shard, shard),
             out_shardings=repl,
         )
-
-        def preprocess(img_raw):
-            x = img_raw.astype(jnp.float32) / 255.0 - 0.5
-            return resize_bilinear(x, (cfg.reader_height, cfg.reader_width))
-
-        def preprocess_mask(gt_raw):
-            m = gt_raw.astype(jnp.float32) / 255.0
-            return resize_nearest(m, (cfg.reader_height, cfg.reader_width))
-
-        self.preprocess = jax.jit(preprocess, in_shardings=shard, out_shardings=shard)
-        self.preprocess_mask = jax.jit(preprocess_mask, in_shardings=shard, out_shardings=shard)
+        self.feeder = DeviceFeeder(self.mesh, (cfg.reader_height, cfg.reader_width))
 
     def run(self, state, batch) -> Dict[str, np.ndarray]:
         """Run the 4-crop ensemble for one batch of uncropped test samples.
@@ -89,15 +80,8 @@ class EnsembleEvaluator:
         reference feeds test_crop=1.0 inputs and applies the crop grid
         (adversarial_learner.py:536-550).
         """
-        shard = data_sharding(self.mesh)
-        if "img1_raw" in batch:
-            img1 = self.preprocess(jax.device_put(batch["img1_raw"], shard))
-            img2 = self.preprocess(jax.device_put(batch["img2_raw"], shard))
-            gt = self.preprocess_mask(jax.device_put(batch["gt_raw"], shard))
-        else:
-            img1 = jax.device_put(batch["img1"], shard)
-            img2 = jax.device_put(batch["img2"], shard)
-            gt = jax.device_put(batch["gt"], shard)
+        img1, img2 = self.feeder.images(batch)
+        gt = self.feeder.mask(batch)
         out = self.infer(
             state.gen_params, state.gen_stats, state.pwc_params, img1, img2, gt
         )

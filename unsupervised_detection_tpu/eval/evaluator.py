@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..data import TestPipeline, get_reader
+from ..data.device_input import DeviceFeeder
 from ..ops.resize import central_crop_resize, resize_bilinear, resize_nearest
 from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..train.objective import AdversarialObjective
@@ -108,30 +109,12 @@ class Evaluator:
             in_shardings=(repl, repl, repl, repl, shard, shard, shard),
             out_shardings=shard,
         )
+        self.feeder = DeviceFeeder(self.mesh, (cfg.reader_height, cfg.reader_width))
 
-        def preprocess(img_raw):
-            x = img_raw.astype(jnp.float32) / 255.0 - 0.5
-            return resize_bilinear(x, (cfg.reader_height, cfg.reader_width))
-
-        def preprocess_mask(gt_raw):
-            m = gt_raw.astype(jnp.float32) / 255.0
-            return resize_nearest(m, (cfg.reader_height, cfg.reader_width))
-
-        self.preprocess = jax.jit(preprocess, in_shardings=shard, out_shardings=shard)
-        self.preprocess_mask = jax.jit(preprocess_mask, in_shardings=shard, out_shardings=shard)
-
-    def device_batch(self, batch) -> Dict[str, jnp.ndarray]:
+    def device_batch(self, batch):
         """Raw/host batch -> reader-resolution device tensors."""
-        shard = data_sharding(self.mesh)
-        if "img1_raw" in batch:
-            img1 = self.preprocess(jax.device_put(batch["img1_raw"], shard))
-            img2 = self.preprocess(jax.device_put(batch["img2_raw"], shard))
-            gt = self.preprocess_mask(jax.device_put(batch["gt_raw"], shard))
-        else:
-            img1 = jax.device_put(batch["img1"], shard)
-            img2 = jax.device_put(batch["img2"], shard)
-            gt = jax.device_put(batch["gt"], shard)
-        return img1, img2, gt
+        img1, img2 = self.feeder.images(batch)
+        return img1, img2, self.feeder.mask(batch)
 
 
 def evaluate_dataset(config: Config, state, save_dir: Optional[str] = None,

@@ -34,8 +34,30 @@ def save_checkpoint(checkpoint_dir: str, name: str, state) -> str:
     return path
 
 
+MAX_TO_KEEP = 40  # reference saver: max_to_keep=40 (adversarial_learner.py:327)
+
+
 def save_epoch(checkpoint_dir: str, epoch: int, state) -> str:
-    return save_checkpoint(checkpoint_dir, f"model-{epoch}", state)
+    path = save_checkpoint(checkpoint_dir, f"model-{epoch}", state)
+    _prune_old(checkpoint_dir)
+    return path
+
+
+def _prune_old(checkpoint_dir: str, keep: int = MAX_TO_KEEP) -> None:
+    """Drop the oldest model-<epoch> saves beyond `keep` (model.best and the
+    scope saves are never pruned)."""
+    import shutil
+
+    epochs = []
+    for entry in os.listdir(checkpoint_dir):
+        if entry.startswith("model-"):
+            try:
+                epochs.append((int(entry.split("-")[1]), entry))
+            except (IndexError, ValueError):
+                continue
+    epochs.sort()
+    for _, entry in epochs[:-keep] if len(epochs) > keep else []:
+        shutil.rmtree(os.path.join(checkpoint_dir, entry), ignore_errors=True)
 
 
 def save_best(checkpoint_dir: str, state) -> str:

@@ -183,13 +183,8 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
 
 
 def _device_images(learner, batch, shard):
-    if "img1_raw" in batch:
-        img1 = learner.preprocess(jax.device_put(batch["img1_raw"], shard))
-        img2 = learner.preprocess(jax.device_put(batch["img2_raw"], shard))
-    else:
-        img1 = jax.device_put(batch["img1"], shard)
-        img2 = jax.device_put(batch["img2"], shard)
-    return img1, img2
+    del shard
+    return learner.feeder.images(batch)
 
 
 def _run_validation(learner, state, val_pipe, val_steps, shard):
@@ -198,10 +193,7 @@ def _run_validation(learner, state, val_pipe, val_steps, shard):
         if step >= val_steps:
             break
         img1, img2 = _device_images(learner, batch, shard)
-        if "gt_raw" in batch:
-            gt = learner.preprocess_mask(jax.device_put(batch["gt_raw"], shard))
-        else:
-            gt = jax.device_put(batch["gt"], shard)
+        gt = learner.feeder.mask(batch)
         total += float(learner.val_step(state, img1, img2, gt))
     return total
 

@@ -196,6 +196,7 @@ class AdversarialLearner:
             first batch element only; fully on device."""
             from ..ops.flow import flow_to_image_summary
             from ..ops.metrics import disambiguate_forward_background
+            from ..ops.resize import resize_bilinear
 
             out = obj.forward(
                 state.gen_params, state.gen_stats, state.rec_params,
@@ -217,22 +218,11 @@ class AdversarialLearner:
             summary_images, in_shardings=(repl, batch_shard, batch_shard),
         )
 
-        from ..ops.resize import resize_bilinear, resize_nearest
+        from ..data.device_input import DeviceFeeder
 
-        def preprocess(img_raw):
-            """uint8 raw frames -> [-0.5, 0.5] reader-resolution floats
-            (reference preprocess_image, davis2016_data_utils.py:86-91)."""
-            x = img_raw.astype(jnp.float32) / 255.0 - 0.5
-            return resize_bilinear(x, (cfg.reader_height, cfg.reader_width))
-
-        def preprocess_mask(gt_raw):
-            m = gt_raw.astype(jnp.float32) / 255.0
-            return resize_nearest(m, (cfg.reader_height, cfg.reader_width))
-
-        self.preprocess = jax.jit(preprocess, in_shardings=batch_shard,
-                                  out_shardings=batch_shard)
-        self.preprocess_mask = jax.jit(preprocess_mask, in_shardings=batch_shard,
-                                       out_shardings=batch_shard)
+        self.feeder = DeviceFeeder(self.mesh, (cfg.reader_height, cfg.reader_width))
+        self.preprocess = self.feeder.preprocess
+        self.preprocess_mask = self.feeder.preprocess_mask
 
     # --- schedule -----------------------------------------------------------
     def select_step(self, sub_step: int):

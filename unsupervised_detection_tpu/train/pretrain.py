@@ -109,26 +109,14 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
         raw_hw=raw_hw, num_threads=config.num_threads, seed=config.seed,
     )
 
+    from ..data.device_input import DeviceFeeder
+
+    feeder = DeviceFeeder(mesh, (config.reader_height, config.reader_width))
     it = iter(pipe)
     loop_rng = jax.device_put(r_loop, repl)
-    preprocess = None
     for step in range(1, steps + 1):
         batch = next(it)
-        if "img1_raw" in batch:
-            if preprocess is None:
-                from ..ops.resize import resize_bilinear
-
-                def _pp(x):
-                    return resize_bilinear(
-                        x.astype(jnp.float32) / 255.0 - 0.5,
-                        (config.reader_height, config.reader_width))
-
-                preprocess = jax.jit(_pp, in_shardings=shard, out_shardings=shard)
-            img1 = preprocess(jax.device_put(batch["img1_raw"], shard))
-            img2 = preprocess(jax.device_put(batch["img2_raw"], shard))
-        else:
-            img1 = jax.device_put(batch["img1"], shard)
-            img2 = jax.device_put(batch["img2"], shard)
+        img1, img2 = feeder.images(batch)
         rec_params, opt_state, loop_rng, loss = step_jit(
             rec_params, opt_state, loop_rng, img1, img2)
         if verbose and step % 20 == 0:
