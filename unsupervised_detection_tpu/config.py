@@ -67,6 +67,12 @@ class Config:
     # 2 runs the flow net at 320x192, ~3x less flow compute — the mask net
     # consumes standardized flow, so magnitude rescaling cancels).
     flow_resolution_divisor: int = 1
+    # PWCNet hyperparameters (reference _DEFAULT_PWCNET_TEST_OPTIONS,
+    # model_pwcnet.py:8-19). flow_pred_lvl=3 is a throughput option that
+    # skips the most expensive estimator level.
+    pwc_pyr_lvls: int = 6
+    pwc_flow_pred_lvl: int = 2
+    pwc_search_range: int = 4
     mesh_data: int = 0                   # 0 = all devices on the data axis
     mesh_model: int = 1
     seed: int = 8964                     # train.py:18

@@ -54,7 +54,13 @@ class AdversarialObjective:
         self.dtype = dtype
         self.generator = GeneratorNet(dtype=dtype)
         self.recover = RecoverNet(dtype=dtype)
-        self.pwc = PWCNet(dtype=dtype, use_pallas_costvol=config.use_pallas)
+        self.pwc = PWCNet(
+            pyr_lvls=config.pwc_pyr_lvls,
+            flow_pred_lvl=config.pwc_flow_pred_lvl,
+            search_range=config.pwc_search_range,
+            dtype=dtype,
+            use_pallas_costvol=config.use_pallas,
+        )
 
     # --- network applications -------------------------------------------
     def compute_flow(self, pwc_params, img1, img2):
