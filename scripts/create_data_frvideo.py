@@ -26,11 +26,50 @@ video_rootname, _ = os.path.splitext(os.path.basename(video_fname))
 outimg_dir = os.path.join(img_rootdir, video_rootname)
 os.makedirs(outimg_dir, exist_ok=True)
 
-subprocess.call([
-    "ffmpeg", "-i", video_fname, "-r", out_fps,
-    "-vf", "scale={}:{}".format(out_width, out_height),
-    os.path.join(outimg_dir, "%05d.jpg"),
-])
+def _extract_with_ffmpeg():
+    return subprocess.call([
+        "ffmpeg", "-i", video_fname, "-r", out_fps,
+        "-vf", "scale={}:{}".format(out_width, out_height),
+        os.path.join(outimg_dir, "%05d.jpg"),
+    ])
+
+
+def _extract_with_cv2():
+    """Fallback when ffmpeg is not installed: decode with OpenCV and
+    resample to out_fps."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_fname)
+    if not cap.isOpened():
+        raise IOError("Cannot open video {}".format(video_fname))
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or float(out_fps)
+    step = src_fps / float(out_fps)
+    emitted = 0
+    next_src = 0.0
+    src_idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if src_idx >= next_src:
+            frame = cv2.resize(frame, (out_width, out_height),
+                               interpolation=cv2.INTER_LINEAR)
+            emitted += 1
+            cv2.imwrite(os.path.join(outimg_dir, "%05d.jpg" % emitted), frame)
+            next_src += step
+        src_idx += 1
+    cap.release()
+    if emitted == 0:
+        raise IOError("No frames decoded from {}".format(video_fname))
+
+
+try:
+    ret = _extract_with_ffmpeg()
+except FileNotFoundError:
+    ret = -1
+if ret != 0:
+    print("[INFO] ffmpeg unavailable or failed; extracting with OpenCV")
+    _extract_with_cv2()
 
 # Fake all-black annotation so the reader's GT path resolves.
 annot_dir = os.path.join(dataset_root, "Annotations/480p")
