@@ -32,14 +32,20 @@ def main():
     enable_compilation_cache()
     from unsupervised_detection_tpu.train.objective import AdversarialObjective
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    compute_dtype = sys.argv[2] if len(sys.argv) > 2 else "bfloat16"
-    use_pallas = "pallas" in sys.argv[3:]
+    args = sys.argv[1:]
+    batch = int(args[0]) if args else 32
+    modes = set(args[1:])
+    compute_dtype = "float32" if "float32" in modes else "bfloat16"
+    unknown = modes - {"float32", "bfloat16", "pallas", "fast"}
+    if unknown:
+        raise SystemExit(f"Unknown bench mode(s): {sorted(unknown)}; "
+                         "expected float32|bfloat16|pallas|fast")
+    use_pallas = "pallas" in modes
     # Non-parity throughput mode: "fast" runs the flow net at half reader
     # resolution (~627 fps/chip measured vs ~189 parity; the generator input
     # is standardized flow, so magnitudes cancel). Parity mode is the
     # reported default.
-    flow_div = 2 if "fast" in sys.argv[3:] else 1
+    flow_div = 2 if "fast" in modes else 1
 
     cfg = Config(batch_size=batch, compute_dtype=compute_dtype,
                  use_pallas=use_pallas, flow_resolution_divisor=flow_div)

@@ -37,12 +37,21 @@ def _extract_with_ffmpeg():
 def _extract_with_cv2():
     """Fallback when ffmpeg is not installed: decode with OpenCV and
     resample to out_fps."""
+    import math
+
     import cv2
+
+    # drop any partial ffmpeg output so the sequence stays consistent
+    for stale in os.listdir(outimg_dir):
+        if stale.endswith(".jpg"):
+            os.remove(os.path.join(outimg_dir, stale))
 
     cap = cv2.VideoCapture(video_fname)
     if not cap.isOpened():
         raise IOError("Cannot open video {}".format(video_fname))
-    src_fps = cap.get(cv2.CAP_PROP_FPS) or float(out_fps)
+    src_fps = cap.get(cv2.CAP_PROP_FPS)
+    if not src_fps or not math.isfinite(src_fps):
+        src_fps = float(out_fps)
     step = src_fps / float(out_fps)
     emitted = 0
     next_src = 0.0

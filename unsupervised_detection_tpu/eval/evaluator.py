@@ -21,7 +21,7 @@ import numpy as np
 from ..config import Config
 from ..data import TestPipeline, get_reader
 from ..data.device_input import DeviceFeeder
-from ..ops.resize import central_crop_resize, resize_bilinear, resize_nearest
+from ..ops.resize import central_crop_resize, resize_nearest
 from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..train.objective import AdversarialObjective
 
@@ -170,16 +170,10 @@ def evaluate_dataset(config: Config, state, save_dir: Optional[str] = None,
                 cat_dir = os.path.join(save_dir, category)
                 os.makedirs(cat_dir, exist_ok=True)
                 frame_id = len(category_iou[category])
-                bgr = cv2.cvtColor(
-                    ((out["input_image"][b] + 0.5) * 255).astype(np.uint8),
-                    cv2.COLOR_RGB2BGR,
-                )
-                mask_rgb = np.concatenate(
-                    [np.zeros_like(out_mask, np.uint8),
-                     (out_mask * 255).astype(np.uint8),
-                     np.zeros_like(out_mask, np.uint8)], axis=-1
-                )
-                overlay = cv2.addWeighted(bgr, 0.5, mask_rgb, 0.4, 0)
+                from ..utils.visualization import postprocess_image, postprocess_mask
+
+                bgr = postprocess_image(out["input_image"][b])
+                overlay = cv2.addWeighted(bgr, 0.5, postprocess_mask(out_mask), 0.4, 0)
                 overlay = cv2.resize(overlay, (DES_WIDTH, DES_HEIGHT))
                 cv2.imwrite(os.path.join(cat_dir, "frame_%08d.png" % frame_id), overlay)
                 import scipy.io as sio

@@ -17,9 +17,10 @@ _LIB_PATH = os.path.join(_SRC_DIR, "libdensecrf.so")
 
 
 def _load():
-    if not os.path.isfile(_LIB_PATH):
-        subprocess.run(["make", "-C", _SRC_DIR], check=True,
-                       stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+    # Always invoke make: it is a no-op when the .so is current and rebuilds
+    # after source edits (a mere existence check would run stale binaries).
+    subprocess.run(["make", "-C", _SRC_DIR], check=True,
+                   stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.dense_crf_binary.restype = ctypes.c_int
     lib.dense_crf_binary.argtypes = [

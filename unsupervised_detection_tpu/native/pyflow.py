@@ -20,14 +20,11 @@ _SRC_DIR = os.path.join(
 _LIB_PATH = os.path.join(_SRC_DIR, "libcoarse2fine.so")
 
 
-def _build() -> None:
+def _load():
+    # Always invoke make: it is a no-op when the .so is current and rebuilds
+    # after source edits (a mere existence check would run stale binaries).
     subprocess.run(["make", "-C", _SRC_DIR], check=True,
                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-
-
-def _load():
-    if not os.path.isfile(_LIB_PATH):
-        _build()
     lib = ctypes.CDLL(_LIB_PATH)
     lib.coarse2fine_flow.restype = ctypes.c_int
     lib.coarse2fine_flow.argtypes = [

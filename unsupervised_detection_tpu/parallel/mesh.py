@@ -40,11 +40,18 @@ def make_mesh(n_data: int | None = None, n_model: int = 1,
             the batch (a batch that doesn't split evenly can't shard).
     """
     devices = list(devices if devices is not None else jax.devices())
+    explicit = n_data is not None
     if n_data is None:
         n_data = len(devices) // n_model
-    if batch_size is not None:
+    if batch_size is not None and not explicit:
+        requested = n_data
         while n_data > 1 and batch_size % n_data != 0:
             n_data -= 1
+        if n_data != requested:
+            print("WARNING: batch_size=%d does not split over %d devices; "
+                  "using a %d-device data axis (%d devices idle). Pick a "
+                  "batch divisible by the device count for full utilization."
+                  % (batch_size, requested, n_data, (requested - n_data) * n_model))
     use = np.array(devices[: n_data * n_model]).reshape(n_data, n_model)
     return Mesh(use, (DEFAULT_DATA_AXIS, DEFAULT_MODEL_AXIS))
 

@@ -30,6 +30,26 @@ from .permutohedral import PermutohedralLattice
 
 REFINE_ITERATIONS = 50
 
+_NATIVE_BACKEND = "unresolved"
+
+
+def _native_backend(required: bool = False):
+    """Import the C++ solver once; cache failure so per-frame calls don't
+    re-attempt a failing build, and warn once on fallback."""
+    global _NATIVE_BACKEND
+    if _NATIVE_BACKEND == "unresolved":
+        try:
+            from ..native import densecrf as native_crf
+
+            _NATIVE_BACKEND = native_crf
+        except Exception as e:
+            _NATIVE_BACKEND = None
+            print("WARNING: native dense-CRF unavailable (%s); using the "
+                  "numpy engine (~12x slower)" % type(e).__name__)
+    if _NATIVE_BACKEND is None and required:
+        raise RuntimeError("native dense-CRF backend requested but unavailable")
+    return _NATIVE_BACKEND
+
 
 def dense_crf_binary(unary: np.ndarray, image: np.ndarray, sxy: float,
                      srgb: float, compat: float,
@@ -45,14 +65,10 @@ def dense_crf_binary(unary: np.ndarray, image: np.ndarray, sxy: float,
         (2, H, W) final marginals Q.
     """
     if backend in ("auto", "native"):
-        try:
-            from ..native import densecrf as native_crf
-
+        native_crf = _native_backend(required=backend == "native")
+        if native_crf is not None:
             return native_crf.dense_crf_binary(
                 unary, image, sxy, srgb, compat, n_iterations)
-        except Exception:
-            if backend == "native":
-                raise
     h, w = image.shape[:2]
     n = h * w
     yy, xx = np.mgrid[0:h, 0:w]

@@ -20,7 +20,6 @@ import numpy as np
 
 from ..config import Config
 from ..data import TestPipeline, TrainPipeline, get_reader
-from ..parallel.mesh import data_sharding
 from . import checkpoint as ckpt
 from .learner import AdversarialLearner
 
@@ -117,14 +116,13 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
             config.iters_rec, config.iters_gen))
         print("-------------------------------------")
 
-    shard = data_sharding(learner.mesh)
     train_iter = iter(train_pipe)
 
     sub_step = 0
     while True:
         sub_step += 1
         batch = next(train_iter)
-        img1, img2 = _device_images(learner, batch, shard)
+        img1, img2 = learner.feeder.images(batch)
         start_time = time.time()
 
         step_fn = learner.select_step(sub_step)
@@ -155,7 +153,7 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
 
         if sub_step % steps_per_epoch == 0:
             epoch = sub_step // steps_per_epoch
-            val_iou = _run_validation(learner, state, val_pipe, val_steps, shard)
+            val_iou = _run_validation(learner, state, val_pipe, val_steps)
             val_iou /= val_steps * config.batch_size
             if verbose:
                 print("Epoch [{}] Validation IoU: {}".format(epoch, val_iou))
@@ -182,17 +180,12 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
     return state
 
 
-def _device_images(learner, batch, shard):
-    del shard
-    return learner.feeder.images(batch)
-
-
-def _run_validation(learner, state, val_pipe, val_steps, shard):
+def _run_validation(learner, state, val_pipe, val_steps):
     total = 0.0
     for step, batch in enumerate(val_pipe):
         if step >= val_steps:
             break
-        img1, img2 = _device_images(learner, batch, shard)
+        img1, img2 = learner.feeder.images(batch)
         gt = learner.feeder.mask(batch)
         total += float(learner.val_step(state, img1, img2, gt))
     return total

@@ -221,8 +221,6 @@ class AdversarialLearner:
         from ..data.device_input import DeviceFeeder
 
         self.feeder = DeviceFeeder(self.mesh, (cfg.reader_height, cfg.reader_width))
-        self.preprocess = self.feeder.preprocess
-        self.preprocess_mask = self.feeder.preprocess_mask
 
     # --- schedule -----------------------------------------------------------
     def select_step(self, sub_step: int):

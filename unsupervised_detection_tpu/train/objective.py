@@ -75,7 +75,8 @@ class AdversarialObjective:
         d = self.config.flow_resolution_divisor
         if d > 1:
             size = (self.config.reader_height // d, self.config.reader_width // d)
-            assert size[0] % 64 == 0 and size[1] % 64 == 0, size
+            mult = 2**self.pwc.pyr_lvls
+            assert size[0] % mult == 0 and size[1] % mult == 0, (size, mult)
             img1 = resize_bilinear(img1, size)
             img2 = resize_bilinear(img2, size)
         flow = self.pwc.apply(

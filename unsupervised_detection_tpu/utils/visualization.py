@@ -13,7 +13,13 @@ import numpy as np
 
 
 def postprocess_flow(flow: np.ndarray) -> np.ndarray:
-    """First flow channel as a grayscale BGR image (general_utils.py:5-21)."""
+    """First flow channel as a grayscale BGR image (general_utils.py:5-21).
+
+    NOTE: bug-for-bug port of the reference, which ADDS the minimum instead
+    of subtracting it and divides by max_rescaled twice — for flows with
+    negative values the uint8 cast wraps. Kept verbatim because downstream
+    consumers of the reference expect these exact (quirky) visuals; prefer
+    ops.flow.flow_to_image for faithful colorization."""
     f = flow[:, :, 0]
     rescaled = f + np.min(f)
     max_rescaled = np.max(rescaled)
