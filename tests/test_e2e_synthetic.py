@@ -40,7 +40,16 @@ def _tiny_config(root, ckpt_dir):
         num_threads=2,
         train_crop=0.9,
         test_crop=0.9,
+        allow_random_flow=True,
     )
+
+
+def test_missing_flow_ckpt_aborts(davis_root):
+    # Reference parity: no --flow_ckpt is a hard error
+    # (adversarial_learner.py:339-343) unless --allow_random_flow.
+    cfg = _tiny_config(davis_root, "").replace(allow_random_flow=False)
+    with pytest.raises(SystemExit, match="flow network"):
+        train(cfg, verbose=False)
 
 
 def test_train_and_evaluate(davis_root, tmp_path):

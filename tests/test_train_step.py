@@ -58,11 +58,12 @@ def test_train_steps_update_params(learner, state, tiny_config):
     # The steps donate their input state; work on a copy so the shared
     # module-scoped fixture stays alive for the other tests.
     state0 = jax.tree.map(jnp.copy, state)
-    state1, losses = learner.generator_step(state0, img1, img2)
+    state1, losses, grads = learner.generator_step(state0, img1, img2)
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
     for k, v in losses.items():
         assert np.isfinite(np.asarray(v)).all(), k
 
-    state2, losses2 = learner.recover_step(state1, img1, img2)
+    state2, losses2, _ = learner.recover_step(state1, img1, img2)
     assert np.isfinite(np.asarray(losses2["recover"]))
 
     # generator params moved in step 1, recover params in step 2, pwc frozen
@@ -100,7 +101,7 @@ def test_val_step_returns_iou_sum(learner, state, tiny_config):
 def test_losses_match_reference_structure(learner, state, tiny_config):
     img1, img2 = _batch(tiny_config, seed=2)
     img1, img2 = learner.shard((img1, img2))
-    _, losses = learner.generator_step(jax.tree.map(jnp.copy, state), img1, img2)
+    _, losses, _ = learner.generator_step(jax.tree.map(jnp.copy, state), img1, img2)
     want_keys = {
         "generator", "recover", "red_rate", "red_rate_compl",
         "reconstruction_loss", "reconstruction_compl_loss",

@@ -38,7 +38,7 @@ def main():
 
     def cycle(state):
         for sub in range(1, 5):
-            state, losses = learner.select_step(sub)(state, img1, img2)
+            state, losses, _ = learner.select_step(sub)(state, img1, img2)
         return state, losses
 
     state, losses = cycle(state)  # compile both steps

@@ -73,6 +73,10 @@ class Config:
     pwc_pyr_lvls: int = 6
     pwc_flow_pred_lvl: int = 2
     pwc_search_range: int = 4
+    # Escape hatch for synthetic/test runs: the reference hard-aborts when no
+    # flow checkpoint is given (adversarial_learner.py:339-343); training a
+    # random PWC net produces garbage, so we do too unless this is set.
+    allow_random_flow: bool = False
     mesh_data: int = 0                   # 0 = all devices on the data axis
     mesh_model: int = 1
     seed: int = 8964                     # train.py:18

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import Config
 from ..data import TestPipeline, TrainPipeline, get_reader
+from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
 from .learner import AdversarialLearner
 
@@ -40,6 +41,15 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
         config: full configuration.
         max_cycles: optional hard cap on alternation cycles (testing hook).
     """
+    if not config.flow_ckpt and not config.allow_random_flow:
+        # Hard error like the reference (adversarial_learner.py:339-343):
+        # training against a randomly-initialized flow net silently produces
+        # garbage. --allow_random_flow is the explicit synthetic/test escape.
+        raise SystemExit(
+            "No checkpoint for the flow network provided (--flow_ckpt). "
+            "Pass --allow_random_flow to train against a randomly "
+            "initialized PWC net anyway (synthetic/test runs only)."
+        )
     np.random.seed(config.seed)
     if config.debug_nans:
         # NaN guard (SURVEY.md 5.2): fail fast inside jitted steps.
@@ -84,8 +94,8 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
         if verbose:
             print("Flow net loaded from {}".format(config.flow_ckpt))
     elif verbose:
-        print("WARNING: no --flow_ckpt given; PWC flow net is randomly "
-              "initialized (reference aborts here; allowed for synthetic runs)")
+        print("WARNING: --allow_random_flow set; PWC flow net is randomly "
+              "initialized")
 
     if config.resume_train:
         path = None
@@ -117,6 +127,7 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
         print("-------------------------------------")
 
     train_iter = iter(train_pipe)
+    timer = StepTimer(config.batch_size)
 
     sub_step = 0
     while True:
@@ -125,27 +136,42 @@ def train(config: Config, max_cycles: Optional[int] = None, verbose: bool = True
         img1, img2 = learner.feeder.images(batch)
         start_time = time.time()
 
-        step_fn = learner.select_step(sub_step)
-        state, losses = step_fn(state, img1, img2)
+        is_gen = learner.select_step(sub_step) is learner.generator_step
+        state, losses, grads = learner.select_step(sub_step)(state, img1, img2)
         if sub_step % sum_iters == 0:
             state = learner.incr_step(state)
+        timer.tick()
 
         if sub_step % config.summary_freq == 0:
-            loss_gen = float(losses["generator"])
+            loss_gen = float(losses["generator"])  # syncs the step
             loss_rec = float(losses["recover"])
             epoch = math.ceil(sub_step / steps_per_epoch)
             epoch_step = sub_step - (epoch - 1) * steps_per_epoch
             if verbose:
                 print(
-                    "Epoch: [%2d] [%5d/%5d] time: %4.4f/it loss_generator: "
-                    "%4.4f loss_recover %4.4f"
+                    "Epoch: [%2d] [%5d/%5d] time: %4.4f/it (%.1f samples/s) "
+                    "loss_generator: %4.4f loss_recover %4.4f"
                     % (epoch, epoch_step, steps_per_epoch,
-                       time.time() - start_time, loss_gen, loss_rec)
+                       time.time() - start_time, timer.frames_per_second,
+                       loss_gen, loss_rec)
                 )
             if writer:
                 gs = int(state.step)
                 for key, value in losses.items():
                     writer.add_scalar(key, float(value), gs)
+                writer.add_scalar("samples_per_sec", timer.frames_per_second, gs)
+                # Per-variable gradient histograms, like the reference's
+                # collect_summaries (adversarial_learner.py:283-290). `grads`
+                # are the post-clip/noise values of whichever net this
+                # sub-step trained.
+                net = "MaskNet" if is_gen else "FlownetS"
+                for path, leaf in jax.tree_util.tree_flatten_with_path(grads)[0]:
+                    name = "/".join(
+                        getattr(k, "key", str(k)) for k in path
+                    )
+                    writer.add_histogram(
+                        f"{net}/{name}/gradients", np.asarray(leaf), gs
+                    )
                 images = learner.summary_images(state, img1, img2)
                 for key, img in images.items():
                     arr = np.clip(np.asarray(img)[0] + 0.5, 0.0, 1.0)

@@ -138,7 +138,11 @@ class AdversarialLearner:
             )
             updates, gen_opt = self.optimizer.update(grads, state.gen_opt, state.gen_params)
             gen_params = optax.apply_updates(state.gen_params, updates)
-            return state.replace(rng=rng, gen_params=gen_params, gen_opt=gen_opt), losses
+            new_state = state.replace(rng=rng, gen_params=gen_params, gen_opt=gen_opt)
+            # The post-clip/noise grads are returned for summary histograms
+            # (reference logs clipped_grad_and_vars, adversarial_learner.py:283-290);
+            # they stay on device unless the host fetches them.
+            return new_state, losses, grads
 
         def recover_step(state: TrainState, img1, img2):
             rng, r_aug, r_noise = jax.random.split(state.rng, 3)
@@ -155,7 +159,8 @@ class AdversarialLearner:
             )
             updates, rec_opt = self.optimizer.update(grads, state.rec_opt, state.rec_params)
             rec_params = optax.apply_updates(state.rec_params, updates)
-            return state.replace(rng=rng, rec_params=rec_params, rec_opt=rec_opt), losses
+            new_state = state.replace(rng=rng, rec_params=rec_params, rec_opt=rec_opt)
+            return new_state, losses, grads
 
         def incr_step(state: TrainState):
             return state.replace(step=state.step + 1)
@@ -175,12 +180,12 @@ class AdversarialLearner:
         state_in = (repl, batch_shard, batch_shard)
 
         self.generator_step = jax.jit(
-            generator_step, in_shardings=state_in, out_shardings=(repl, repl),
-            donate_argnums=(0,),
+            generator_step, in_shardings=state_in,
+            out_shardings=(repl, repl, repl), donate_argnums=(0,),
         )
         self.recover_step = jax.jit(
-            recover_step, in_shardings=state_in, out_shardings=(repl, repl),
-            donate_argnums=(0,),
+            recover_step, in_shardings=state_in,
+            out_shardings=(repl, repl, repl), donate_argnums=(0,),
         )
         self.incr_step = jax.jit(incr_step, donate_argnums=(0,))
         self.val_step = jax.jit(
