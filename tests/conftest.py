@@ -9,6 +9,10 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Legacy Keras restores tf.compat.v1.layers (Keras 3 removed it), which the
+# reference-oracle tests need to build the reference's actual TF1 graphs.
+# Must be set before the first tensorflow import in the process.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

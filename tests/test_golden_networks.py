@@ -80,7 +80,7 @@ def _tf_conv(values, x, scope, stride=1, rate=1, bn_scope=None, act="elu"):
 def _oracle_generator(values, images, flows):
     """Reference generator schedule (nets.py:4-42) as an eager-TF oracle."""
     x = tf.concat([images, flows], 3)
-    P = "MaskNet/"
+    P = tf1_import.GEN_PREFIX
     order = tf1_import._GEN_TOPLEVEL_BN_ORDER
 
     def bn(i):
@@ -136,7 +136,7 @@ def test_generator_matches_tf_oracle(state):
 
 def _oracle_recover(values, img1, flow_masked, mask):
     """Reference recover schedule (nets.py:45-110) as an eager-TF oracle."""
-    P = "FlownetS/"
+    P = tf1_import.REC_PREFIX
 
     def conv(x, name, stride=1, act="leaky02"):
         w = _tf_var(values, P + name + "/weights")

@@ -92,10 +92,10 @@ def test_tf1_checkpoint_roundtrip(state, tmp_path):
 
 def test_generator_bn_name_order():
     # first top-level BN has no suffix, later ones count up in creation order
-    assert tf1_import._gen_bn_scope("conv1") == "MaskNet/batch_normalization"
-    assert tf1_import._gen_bn_scope("conv2_downsample") == "MaskNet/batch_normalization_1"
-    assert tf1_import._gen_bn_scope("conv17") == "MaskNet/batch_normalization_14"
+    assert tf1_import._gen_bn_scope("conv1") == "MaskNet//batch_normalization"
+    assert tf1_import._gen_bn_scope("conv2_downsample") == "MaskNet//batch_normalization_1"
+    assert tf1_import._gen_bn_scope("conv17") == "MaskNet//batch_normalization_14"
     assert (
         tf1_import._gen_bn_scope("conv13_upsample")
-        == "MaskNet/conv13_upsample/batch_normalization"
+        == "MaskNet//conv13_upsample/batch_normalization"
     )

@@ -24,6 +24,16 @@ from typing import Dict, Tuple
 
 import jax
 
+# The reference enters the MaskNet/FlownetS variable scopes by passing a
+# `tf.name_scope(...) as scope` STRING (which ends in "/") into
+# tf.variable_scope (adversarial_learner.py:99-131, nets.py:4,45). TF1 then
+# concatenates another "/", so every variable in the published checkpoints
+# is named "MaskNet//..." / "FlownetS//..." with a DOUBLE slash. Verified
+# against the reference's actual graph code in
+# tests/test_reference_oracle.py (genuine tf.compat.v1.layers auto-naming).
+GEN_PREFIX = "MaskNet//"
+REC_PREFIX = "FlownetS//"
+
 # Creation order of the generator's top-level BN variables (nets.py:4-42);
 # the upsample blocks open a fresh variable scope, so their BN counters
 # restart and they are NOT in this list.
@@ -36,10 +46,10 @@ _GEN_TOPLEVEL_BN_ORDER = [
 
 def _gen_bn_scope(layer: str) -> str:
     if layer.endswith("_upsample"):
-        return f"MaskNet/{layer}/batch_normalization"
+        return f"{GEN_PREFIX}{layer}/batch_normalization"
     i = _GEN_TOPLEVEL_BN_ORDER.index(layer)
     suffix = "" if i == 0 else f"_{i}"
-    return f"MaskNet/batch_normalization{suffix}"
+    return f"{GEN_PREFIX}batch_normalization{suffix}"
 
 
 _BN_PARAM = {"bn_gamma": "gamma", "bn_beta": "beta",
@@ -51,8 +61,8 @@ def generator_name_map(params, stats) -> Dict[Tuple[str, ...], str]:
     mapping = {}
 
     def conv_names(layer, prefix):
-        mapping[(layer,) + prefix + ("conv", "kernel")] = f"MaskNet/{_conv_tf_name(layer)}/kernel"
-        mapping[(layer,) + prefix + ("conv", "bias")] = f"MaskNet/{_conv_tf_name(layer)}/bias"
+        mapping[(layer,) + prefix + ("conv", "kernel")] = f"{GEN_PREFIX}{_conv_tf_name(layer)}/kernel"
+        mapping[(layer,) + prefix + ("conv", "bias")] = f"{GEN_PREFIX}{_conv_tf_name(layer)}/bias"
         bn = _gen_bn_scope(layer)
         for ours, theirs in _BN_PARAM.items():
             mapping[(layer,) + prefix + (ours,)] = f"{bn}/{theirs}"
@@ -77,7 +87,7 @@ def recover_name_map(params) -> Dict[Tuple[str, ...], str]:
         keys = tuple(k.key for k in path)
         layer = keys[0]
         param = "weights" if keys[-1] == "kernel" else "biases"
-        mapping[keys] = f"FlownetS/{layer}/{param}"
+        mapping[keys] = f"{REC_PREFIX}{layer}/{param}"
     return mapping
 
 
