@@ -92,6 +92,8 @@ void gaussian_smooth(const Img& src, Img& dst, double sigma) {
 void resize_bilinear(const Img& src, Img& dst, int nw, int nh) {
   dst = Img(nh, nw, src.c);
   double rx = (double)src.w / nw, ry = (double)src.h / nh;
+  // Half-pixel-center mapping: measured closest to the reference binary
+  // (tests/test_pyflow_reference_binary.py; corner mapping doubles the EPE).
   std::vector<double> buf(src.c);
   for (int y = 0; y < nh; y++)
     for (int x = 0; x < nw; x++) {
@@ -221,7 +223,12 @@ void smooth_flow_sor(const Img& im1feat, const Img& im2feat, Img& warp2,
           phi[i] = 0.5 / std::sqrt(ux * ux + uy * uy + vx * vx + vy * vy + eps_smooth);
         }
 
-      // normal-equation coefficients (summed over feature channels)
+      // Normal-equation coefficients, collapsed over feature channels by
+      // MEAN (Ce Liu's Image::collapse). Summing instead (a natural-looking
+      // alternative) effectively weakens the smoothness term by the channel
+      // count and diverges from the reference binary by 150x EPE
+      // (tests/test_pyflow_reference_binary.py).
+      const double collapse = 1.0 / c;
       for (size_t i = 0; i < n; i++) {
         double a11 = 0, a12 = 0, a22 = 0, r1 = 0, r2 = 0;
         for (int k = 0; k < c; k++) {
@@ -233,7 +240,8 @@ void smooth_flow_sor(const Img& im1feat, const Img& im2feat, Img& warp2,
           r1 -= wgt * ix * it;
           r2 -= wgt * iy * it;
         }
-        A11[i] = a11; A12[i] = a12; A22[i] = a22; b1[i] = r1; b2[i] = r2;
+        A11[i] = a11 * collapse; A12[i] = a12 * collapse; A22[i] = a22 * collapse;
+        b1[i] = r1 * collapse; b2[i] = r2 * collapse;
       }
 
       if (dbg) {
@@ -403,7 +411,10 @@ int coarse2fine_flow(const double* im1_data, const double* im2_data,
       warp_fl(feat1, feat2, u, v, warp2);
     }
 
-    smooth_flow_sor(feat1, feat2, warp2, u, v, alpha, n_outer + k, n_inner, n_sor);
+    // Coarser levels get extra outer (+k) and SOR (+3k) iterations, like the
+    // reference (measured marginally closer to the binary with +3k).
+    smooth_flow_sor(feat1, feat2, warp2, u, v, alpha, n_outer + k, n_inner,
+                    n_sor + k * 3);
 
     if (std::getenv("PYFLOW_DEBUG")) {
       double mx = 0, su = 0;
