@@ -6,10 +6,17 @@ x - flow_x) with bilinear interpolation; floors are clamped to [0, size-2]
 and interpolation weights to [0, 1] (edge-clamp behavior), and the lerp is
 evaluated in the exact same order (x first, then y) for bit parity.
 
-The gather-based formulation below is what XLA lowers best on TPU today for
-fully dynamic per-pixel offsets: a single flattened gather of the 4 corner
-taps. The flattened row-major index keeps the gather 1-D which maps onto the
-TPU's vector gather path; everything around it fuses.
+TPU gathers are row-issue-bound (~57M rows/s on v5e regardless of row width
+32..128ch and even for contiguous indices — tools/bench_warp_v3.py). Fewer
+gathered rows is the only lever: the quad/dup2 variants below pre-replicate
+the operand so one gathered row carries several taps (exact; taps are
+bit-identical). ISOLATED they win big (PWC L2 shapes, batch 32:
+26.9 -> 10.8 ms quad; L3: 3.9 -> 3.4 ms dup2), but IN CONTEXT of the full
+PWC forward they lose (tools/bench_pwc_warpmode.py: flat 149.9 ms vs
+quad/dup2 155-160 ms) — the operand-replication copies cost more than the
+saved gather rows once XLA schedules them inside the level loop. The flat
+4-gather formulation therefore stays the default; the variants are kept for
+future shapes where the isolated regime applies.
 """
 
 from __future__ import annotations
@@ -18,50 +25,94 @@ import jax
 import jax.numpy as jnp
 
 
-def dense_image_warp(image, flow):
-    """Backward-warp `image` by `flow`.
-
-    Args:
-        image: (B, H, W, C) float array.
-        flow: (B, H, W, 2) float array; channel 0 is the y displacement,
-            channel 1 the x displacement (reference convention: the output at
-            (y, x) samples the input at (y - flow_y, x - flow_x)).
-
-    Returns:
-        (B, H, W, C) warped image, same dtype as `image`.
-    """
-    b, h, w, c = image.shape
+def _tap_coords(image, flow):
+    """Clamped corner indices + lerp weights (core_warp.py:94-119 semantics:
+    floor clamped to [0, size-2], weights to [0, 1] => edge-clamp)."""
+    b, h, w, _ = image.shape
     dtype = image.dtype
-
     grid_y = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     grid_x = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     query_y = grid_y[None] - flow[..., 0].astype(jnp.float32)
     query_x = grid_x[None] - flow[..., 1].astype(jnp.float32)
-
-    # TF clamps floor into [0, size-2] so floor+1 is always valid, and the
-    # fractional weight into [0, 1]; this yields edge-clamped extrapolation.
     floor_y = jnp.clip(jnp.floor(query_y), 0.0, h - 2)
     floor_x = jnp.clip(jnp.floor(query_x), 0.0, w - 2)
     alpha_y = jnp.clip(query_y - floor_y, 0.0, 1.0).astype(dtype)[..., None]
     alpha_x = jnp.clip(query_x - floor_x, 0.0, 1.0).astype(dtype)[..., None]
-    iy = floor_y.astype(jnp.int32)
-    ix = floor_x.astype(jnp.int32)
-
-    # One flattened take over (B*H*W) rows per tap: measured fastest of the
-    # XLA gather formulations on TPU (tools/bench_warp_variants.py) — the
-    # whole-array linear index avoids the batched-gather slow path.
     boff = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    lin = boff + floor_y.astype(jnp.int32) * w + floor_x.astype(jnp.int32)
+    return lin, alpha_y, alpha_x
+
+
+def _lerp(tl, tr, bl, br, ay, ax):
+    # Exact TF lerp order (core_warp.py:145-150): x first, then y.
+    interp_top = ax * (tr - tl) + tl
+    interp_bottom = ax * (br - bl) + bl
+    return ay * (interp_bottom - interp_top) + interp_top
+
+
+def _warp_flat(image, flow):
+    """4 gathers of C-wide rows — best for wide features (C > 64)."""
+    b, h, w, c = image.shape
+    lin, ay, ax = _tap_coords(image, flow)
     flat = image.reshape(b * h * w, c)
-    lin = boff + iy * w + ix
 
     def gather(offset):
         return jnp.take(flat, (lin + offset).reshape(-1), axis=0).reshape(b, h, w, c)
 
-    top_left = gather(0)
-    top_right = gather(1)
-    bottom_left = gather(w)
-    bottom_right = gather(w + 1)
+    return _lerp(gather(0), gather(1), gather(w), gather(w + 1), ay, ax)
 
-    interp_top = alpha_x * (top_right - top_left) + top_left
-    interp_bottom = alpha_x * (bottom_right - bottom_left) + bottom_left
-    return alpha_y * (interp_bottom - interp_top) + interp_top
+
+def _warp_dup2(image, flow):
+    """2 gathers of 2C rows: operand row (y, x) also carries (y+1, x).
+
+    The duplicated last row is never read: floor_y <= h-2, so the y+1 tap
+    exists in-image for every gathered row.
+    """
+    b, h, w, c = image.shape
+    lin, ay, ax = _tap_coords(image, flow)
+    nxt = jnp.concatenate([image[:, 1:], image[:, -1:]], axis=1)
+    dup = jnp.concatenate([image, nxt], axis=3)
+    flat = dup.reshape(b * h * w, 2 * c)
+
+    def gather(offset):
+        return jnp.take(flat, (lin + offset).reshape(-1), axis=0).reshape(b, h, w, 2 * c)
+
+    left = gather(0)    # [(y0,x0) | (y1,x0)]
+    right = gather(1)   # [(y0,x1) | (y1,x1)]
+    return _lerp(left[..., :c], right[..., :c], left[..., c:], right[..., c:], ay, ax)
+
+
+def _warp_quad(image, flow):
+    """1 gather of 4C rows: operand row (y, x) carries the full 2x2 patch.
+
+    The duplicated last row/column are never read (floor clamps to size-2).
+    """
+    b, h, w, c = image.shape
+    lin, ay, ax = _tap_coords(image, flow)
+    right = jnp.concatenate([image[:, :, 1:], image[:, :, -1:]], axis=2)
+    row0 = jnp.concatenate([image, right], axis=3)
+    quad = jnp.concatenate(
+        [row0, jnp.concatenate([row0[:, 1:], row0[:, -1:]], axis=1)], axis=3
+    )
+    taps = jnp.take(
+        quad.reshape(b * h * w, 4 * c), lin.reshape(-1), axis=0
+    ).reshape(b, h, w, 4 * c)
+    return _lerp(taps[..., :c], taps[..., c:2 * c],
+                 taps[..., 2 * c:3 * c], taps[..., 3 * c:], ay, ax)
+
+
+def dense_image_warp(image, flow):
+    """Backward-warp `image` by `flow`.
+
+    Semantics match the reference's dense_image_warp (core_warp.py:42-202):
+    output(b, y, x) = image(b, y - flow_y, x - flow_x), bilinear, edge-clamped.
+
+    Args:
+        image: (B, H, W, C) float array.
+        flow: (B, H, W, 2) float array; channel 0 is the y displacement,
+            channel 1 the x displacement.
+
+    Returns:
+        (B, H, W, C) warped image, same dtype as `image`.
+    """
+    return _warp_flat(image, flow)
