@@ -33,7 +33,10 @@ def main():
     from unsupervised_detection_tpu.train.objective import AdversarialObjective
 
     args = sys.argv[1:]
-    batch = int(args[0]) if args else 32
+    # Batch 64 default: the concat-free estimator + major-axis costvol stack
+    # made batch 64 fit (round 1 OOM'd on lane-padded stack copies) and it
+    # outruns batch 32 by ~1.45x (339.8 vs 232.9 fps parity, 2026-08-16).
+    batch = int(args[0]) if args else 64
     modes = set(args[1:])
     compute_dtype = "float32" if "float32" in modes else "bfloat16"
     unknown = modes - {"float32", "bfloat16", "pallas", "fast"}

@@ -94,6 +94,7 @@ def load_reference_models():
         nets = importlib.import_module(f"{_PKG}.nets")
         conv_utils = importlib.import_module(f"{_PKG}.utils.convolution_utils")
         loss_utils = importlib.import_module(f"{_PKG}.utils.loss_utils")
+        flow_utils = importlib.import_module(f"{_PKG}.utils.flow_utils")
         pwcnet = importlib.import_module(f"{_PKG}.PWCNet.model_pwcnet")
     finally:
         if saved is not None:
@@ -103,6 +104,6 @@ def load_reference_models():
 
     _cache = types.SimpleNamespace(
         nets=nets, conv_utils=conv_utils, loss_utils=loss_utils,
-        pwcnet=pwcnet, tf1=v1,
+        flow_utils=flow_utils, pwcnet=pwcnet, tf1=v1,
     )
     return _cache

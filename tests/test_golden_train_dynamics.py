@@ -1,0 +1,238 @@
+"""Train-dynamics golden: K alternation cycles vs the reference's ACTUAL code.
+
+Builds the reference's two-player loss graph and train ops with tf.compat.v1
+from its own verbatim modules — nets.py (generator_net/recover_net),
+utils/loss_utils.py (charbonnier_loss, train_op with clip + vanishing-grad
+noise), utils/flow_utils.py (preprocess_flow_batch) — exactly as
+adversarial_learner.py:99-240 wires them: ONE AdamOptimizer(1e-4, beta1,
+eps=1e-8) shared by both train ops, per-element clip to +-0.2, and the
+step%4 alternation of adversarial_learner.py:386-389 (steps 1-3 generator,
+step 4 recover).
+
+Starting from IDENTICAL transplanted weights and identical fixed
+image/flow tensors (PWC bypassed — it is frozen and golden-tested
+separately), both learners run 2 full cycles (8 sub-steps) and must match:
+
+  * all 8 reference losses at every sub-step (each evaluated pre-update,
+    like the reference's joint sess.run(loss, train_op));
+  * the post-training parameter deltas of both nets.
+
+This is the strongest accuracy-parity evidence available without DAVIS data:
+it pins the loss construction, the gradient path, the clip, AND the
+optimizer semantics (notably the reference's shared Adam bias-correction
+step — train/optim.py) to the reference's own code.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_detection_tpu.config import Config
+from unsupervised_detection_tpu.train import learner as learner_mod
+from unsupervised_detection_tpu.train import tf1_import
+from unsupervised_detection_tpu.train.learner import AdversarialLearner
+
+pytest.importorskip("tensorflow")
+
+from reference_oracle import load_reference_models  # noqa: E402
+
+B, H, W = 2, 96, 192
+N_STEPS = 8  # two full 3:1 generator:recover cycles
+LOSS_KEYS = [
+    "generator", "recover", "red_rate", "red_rate_compl",
+    "reconstruction_loss", "reconstruction_compl_loss",
+    "denominator_red_rate", "denominator_red_rate_compl",
+]
+
+
+def _build_reference_train_graph(ref, config):
+    """adversarial_learner.py:99-240 from placeholders (image at working
+    resolution, flow already resized + normalized)."""
+    tf1 = ref.tf1
+    tf = tf1  # the reference modules run against the v1 shim
+    g = tf1.Graph()
+    with g.as_default():
+        image_batch = tf1.placeholder(tf1.float32, [B, H, W, 3])
+        flow_batch = tf1.placeholder(tf1.float32, [B, H, W, 2])
+        is_training = tf1.placeholder(tf1.bool, shape=())
+
+        with tf1.name_scope("MaskNet") as scope:
+            generated_masks = ref.nets.generator_net(
+                images=image_batch,
+                flows=ref.flow_utils.preprocess_flow_batch(flow_batch),
+                training=is_training, scope=scope, reuse=False)
+            complementary_masks = 1.0 - generated_masks
+
+        flow_masked = flow_batch * (1.0 - generated_masks)
+        flow_compl = flow_batch * (1.0 - complementary_masks)
+
+        with tf1.name_scope("FlownetS") as scope:
+            pred_flows = ref.nets.recover_net(
+                image_batch, flow_masked, mask=generated_masks,
+                scope=scope, reuse=False)
+            pred_compl = ref.nets.recover_net(
+                image_batch, flow_compl, mask=complementary_masks,
+                scope=scope, reuse=True)
+            pred_from_image = ref.nets.recover_net(
+                image_batch, tf.zeros_like(flow_batch),
+                mask=tf.ones_like(generated_masks), scope=scope, reuse=True)
+
+        cbn = config.cbn
+        rec_loss = ref.loss_utils.charbonnier_loss(
+            pred_flows=pred_flows, gt_flows=flow_batch,
+            masks=generated_masks, cbn=cbn)
+        rec_compl_loss = ref.loss_utils.charbonnier_loss(
+            pred_flows=pred_compl, gt_flows=flow_batch,
+            masks=complementary_masks, cbn=cbn)
+        image_prior = tf1.reduce_sum(ref.loss_utils.charbonnier_loss(
+            gt_flows=flow_batch, pred_flows=pred_from_image,
+            masks=tf.ones_like(flow_batch), cbn=cbn))
+
+        num_pixels = tf1.constant(W * H * B, dtype=tf1.float32)
+        recover_loss = (tf1.reduce_sum(rec_loss) + tf1.reduce_sum(rec_compl_loss)
+                        + image_prior) / num_pixels
+
+        epsilon = tf1.constant(config.epsilon)
+        den_red = ref.loss_utils.charbonnier_loss(
+            gt_flows=flow_batch, pred_flows=pred_from_image,
+            masks=generated_masks, cbn=cbn) + epsilon
+        red_rate_object = tf1.reduce_mean(1.0 - rec_loss / den_red, axis=[0])
+        den_red_compl = ref.loss_utils.charbonnier_loss(
+            gt_flows=flow_batch, pred_flows=pred_from_image,
+            masks=complementary_masks, cbn=cbn) + epsilon
+        red_rate_compl = tf1.reduce_mean(1.0 - rec_compl_loss / den_red_compl, axis=[0])
+
+        losses = {
+            "generator": red_rate_object + red_rate_compl,
+            "recover": recover_loss,
+            "red_rate": red_rate_object,
+            "red_rate_compl": red_rate_compl,
+            "reconstruction_loss": rec_loss[0],
+            "reconstruction_compl_loss": rec_compl_loss[0],
+            "denominator_red_rate": den_red[0],
+            "denominator_red_rate_compl": den_red_compl[0],
+        }
+
+        with tf1.name_scope("train_op"):
+            recover_vars = tf1.get_collection(
+                tf1.GraphKeys.TRAINABLE_VARIABLES, "FlownetS")
+            generator_vars = tf1.get_collection(
+                tf1.GraphKeys.TRAINABLE_VARIABLES, "MaskNet")
+            optimizer = tf1.train.AdamOptimizer(
+                learning_rate=1e-4, beta1=config.beta1, epsilon=1e-8)
+            train_gen_op, _ = ref.loss_utils.train_op(
+                loss=losses["generator"], var_list=generator_vars,
+                optimizer=optimizer, gradient_clip_value=0.2, can_change=True)
+            train_rec_op, _ = ref.loss_utils.train_op(
+                loss=losses["recover"], var_list=recover_vars,
+                optimizer=optimizer, gradient_clip_value=0.2, can_change=False)
+
+    feeds = (image_batch, flow_batch, is_training)
+    return g, feeds, losses, train_gen_op, train_rec_op
+
+
+def _mapped(tree, name_map):
+    out = {}
+    for path, value in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        out[name_map[tuple(k.key for k in path)]] = np.asarray(value, np.float32)
+    return out
+
+
+def test_two_cycles_match_reference(monkeypatch):
+    ref = load_reference_models()
+    tf1 = ref.tf1
+
+    cfg = Config(img_height=H, img_width=W, batch_size=B,
+                 compute_dtype="float32", mesh_data=1, train_crop=1.0)
+
+    # --- JAX learner, PWC/augmentation bypassed (flow fed directly) --------
+    monkeypatch.setattr(learner_mod, "augment_pair",
+                        lambda rng, a, b, crop: (a, b))
+    learner = AdversarialLearner(cfg)
+    obj = learner.objective
+    monkeypatch.setattr(
+        obj, "forward",
+        lambda gp, gs, rp, pp, image, flow: obj.losses_from_flow(
+            gp, gs, rp, image, flow))
+    learner._build_steps()
+    state = learner.init_state(jax.random.PRNGKey(42))
+
+    # --- identical inputs ----------------------------------------------------
+    rs = np.random.RandomState(77)
+    image = rs.uniform(-0.5, 0.5, (B, H, W, 3)).astype(np.float32)
+    base = rs.randn(B, H // 8, W // 8, 2).astype(np.float32) * 4.0
+    flow = np.asarray(jax.image.resize(jnp.asarray(base), (B, H, W, 2), "linear"))
+    flow = flow / cfg.flow_normalizer
+
+    # --- transplant initial weights into the reference graph ----------------
+    gen_map = tf1_import.generator_name_map(state.gen_params, state.gen_stats)
+    rec_map = tf1_import.recover_name_map(state.rec_params)
+    values = _mapped(state.gen_params, gen_map)
+    values.update(_mapped(state.gen_stats, gen_map))
+    values.update(_mapped(state.rec_params, rec_map))
+
+    g, (p_img, p_flow, p_train), tf_losses, gen_op, rec_op = \
+        _build_reference_train_graph(ref, cfg)
+
+    tf_steps, tf_final = [], {}
+    with g.as_default(), tf1.Session(graph=g) as sess:
+        sess.run(tf1.global_variables_initializer())
+        assigns = [tf1.assign(v, values[v.name[:-2]])
+                   for v in tf1.global_variables() if v.name[:-2] in values]
+        # Every NET variable must have a transplant (optimizer slots excluded).
+        n_slots = sum(1 for v in tf1.global_variables()
+                      if v.name[:-2] not in values)
+        n_net = len(assigns)
+        assert n_net == len(values), (n_net, len(values))
+        sess.run(assigns)
+
+        feed = {p_img: image, p_flow: flow, p_train: True}
+        for sub_step in range(1, N_STEPS + 1):
+            op = rec_op if (sub_step % 4) < 1 else gen_op
+            fetched = sess.run({"losses": tf_losses, "op": op}, feed)
+            tf_steps.append(fetched["losses"])
+        tf_vars = {v.name[:-2]: sess.run(v)
+                   for v in tf1.get_collection(tf1.GraphKeys.TRAINABLE_VARIABLES)}
+    assert n_slots > 0  # Adam slots + beta powers existed
+
+    # --- run the JAX learner through the same schedule -----------------------
+    jimage, jflow = jnp.asarray(image), jnp.asarray(flow)
+    jax_steps = []
+    for sub_step in range(1, N_STEPS + 1):
+        step_fn = learner.select_step(sub_step)
+        assert (step_fn is learner.recover_step) == ((sub_step % 4) < 1)
+        state, losses, _ = step_fn(state, jimage, jflow)
+        jax_steps.append({k: float(v) for k, v in losses.items()})
+
+    # --- losses match at every sub-step --------------------------------------
+    for i, (tfl, jl) in enumerate(zip(tf_steps, jax_steps), start=1):
+        for key in LOSS_KEYS:
+            np.testing.assert_allclose(
+                jl[key], tfl[key], rtol=2e-3, atol=2e-4,
+                err_msg=f"loss '{key}' diverged at sub-step {i}")
+
+    # --- parameter deltas match ----------------------------------------------
+    for tree, name_map, init_tree in (
+        (state.gen_params, gen_map, None),
+        (state.rec_params, rec_map, None),
+    ):
+        final = _mapped(tree, name_map)
+        for name, jax_final in final.items():
+            tf_final_v = tf_vars.get(name)
+            if tf_final_v is None:  # non-trainable (BN moving stats)
+                continue
+            jax_delta = jax_final - values[name]
+            tf_delta = tf_final_v - values[name]
+            # Adam makes deltas O(lr) regardless of grad scale, so compare
+            # absolutely: 8 steps x lr_t <= 8 * 1e-4. Elements whose grads
+            # are at numerical noise level may step in opposite directions;
+            # bound their mass instead of excluding them.
+            diff = np.abs(jax_delta - tf_delta)
+            scale = np.abs(tf_delta).max() + 1e-12
+            assert np.median(np.abs(tf_delta)) > 0 or np.abs(jax_delta).max() < 1e-7, name
+            frac_bad = float(np.mean(diff > 0.05 * scale))
+            assert frac_bad < 0.02, (
+                f"{name}: {frac_bad:.1%} of elements' deltas differ by >5% "
+                f"of max |delta| ({scale:.2e})")

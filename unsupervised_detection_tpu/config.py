@@ -59,6 +59,10 @@ class Config:
     # --- TPU-native extensions (no reference equivalent) ---
     learning_rate: float = 1e-4          # fixed 1e-4 in the reference (adversarial_learner.py:216)
     adam_epsilon: float = 1e-8
+    # The reference shares ONE AdamOptimizer between both players, so its
+    # bias-correction step t advances on EVERY apply of either net
+    # (train/optim.py). True reproduces that; False gives per-net counts.
+    adam_shared_step: bool = True
     gradient_clip: float = 0.2           # adversarial_learner.py:227,233
     grad_noise_threshold: float = 1e-5   # loss_utils.py:22
     compute_dtype: str = "float32"       # "bfloat16" for TPU throughput

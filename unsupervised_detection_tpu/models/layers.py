@@ -149,6 +149,11 @@ class ConvTranspose2D(nn.Module):
     lax.conv_transpose(transpose_kernel=True), which matches TF's
     gradient-of-conv semantics for 'SAME' padding (PWCNet deconv,
     model_pwcnet.py:247-286).
+
+    Accepts either one tensor or a list of channel parts whose concatenation
+    is the logical input: deconv(concat(parts)) == sum_i deconv(part_i) with
+    the kernel sliced on the input-channel axis. The parts path never
+    materializes the concatenation (see PWCConv for why this matters on TPU).
     """
 
     features: int
@@ -158,7 +163,8 @@ class ConvTranspose2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_ch = x.shape[-1]
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        in_ch = sum(p.shape[-1] for p in parts)
         kernel = self.param(
             "kernel",
             nn.initializers.glorot_uniform(),
@@ -166,21 +172,84 @@ class ConvTranspose2D(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            transpose_kernel=True,
-            precision=conv_precision(self.dtype),
+        y = None
+        off = 0
+        for p in parts:
+            c = p.shape[-1]
+            ks = jax.lax.slice(
+                kernel,
+                (0, 0, 0, off),
+                (self.kernel_size, self.kernel_size, self.features, off + c),
+            )
+            t = jax.lax.conv_transpose(
+                p.astype(self.dtype),
+                ks.astype(self.dtype),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                transpose_kernel=True,
+                precision=conv_precision(self.dtype),
+            )
+            y = t if y is None else y + t
+            off += c
+        return y + bias.astype(self.dtype)
+
+
+class _PartsConvCore(nn.Module):
+    """Conv over a list of channel parts without concatenating them.
+
+    conv(concat(parts)) == sum_i conv(part_i, kernel[:, :, off_i:off_i+c_i]):
+    the kernel is a single parameter with the concatenated input-channel
+    extent (so the param tree, init RNG draw, and TF1 checkpoint mapping are
+    identical to a monolithic conv), but the input concatenation is never
+    materialized. On TPU the dense concats otherwise dominate the PWC forward
+    (copies 42.6 ms + concatenate 31.9 ms of a 145 ms batch-32 step in the
+    round-1 trace; tools/bench_split_conv.py measures the parts rewrite).
+
+    Named "Conv_0" by callers so parameters land exactly where flax nn.Conv
+    auto-naming put them in round 1.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    rate: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, parts):
+        k = self.kernel_size
+        cs = [p.shape[-1] for p in parts]
+        kernel = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (k, k, sum(cs), self.features), jnp.float32,
         )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        y = None
+        off = 0
+        for p, c in zip(parts, cs):
+            ks = jax.lax.slice(kernel, (0, 0, off, 0), (k, k, off + c, self.features))
+            t = jax.lax.conv_general_dilated(
+                p.astype(self.dtype),
+                ks.astype(self.dtype),
+                (self.stride, self.stride),
+                "SAME",
+                rhs_dilation=(self.rate, self.rate),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=conv_precision(self.dtype),
+            )
+            y = t if y is None else y + t
+            off += c
         return y + bias.astype(self.dtype)
 
 
 class PWCConv(nn.Module):
     """Conv + LeakyReLU(0.1), he_normal init (PWCNet building block,
-    model_pwcnet.py:154-167, 484-506, 562-574)."""
+    model_pwcnet.py:154-167, 484-506, 562-574).
+
+    Input may be a single tensor or a list of channel parts standing for
+    their concatenation (never materialized; see _PartsConvCore).
+    """
 
     features: int
     kernel_size: int = 3
@@ -191,17 +260,11 @@ class PWCConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features,
-            (self.kernel_size, self.kernel_size),
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.rate, self.rate),
-            padding="SAME",
-            kernel_init=nn.initializers.he_normal(),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            precision=conv_precision(self.dtype),
-        )(x)
+        parts = list(x) if isinstance(x, (list, tuple)) else [x]
+        x = _PartsConvCore(
+            self.features, self.kernel_size, self.stride, self.rate,
+            self.dtype, name="Conv_0",
+        )(parts)
         if self.activation is not None:
             x = self.activation(x)
         return x

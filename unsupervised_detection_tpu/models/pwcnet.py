@@ -46,30 +46,39 @@ class FeaturePyramid(nn.Module):
 
 class FlowEstimator(nn.Module):
     """Dense-connected optical-flow estimator head for one pyramid level
-    (model_pwcnet.py:345-506, use_dense_cx=True)."""
+    (model_pwcnet.py:345-506, use_dense_cx=True).
+
+    The DenseNet connectivity is carried as a LIST of channel parts (newest
+    activation first) instead of growing concatenations: every conv consumes
+    the list via kernel slices (models/layers._PartsConvCore), so the O(n^2)
+    concat copies that dominated the round-1 TPU trace never materialize.
+    Parameter tree and numerics (up to fp add order) are unchanged.
+    """
 
     lvl: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x_parts):
+        parts = list(x_parts)
         for i, f in enumerate((128, 128, 96, 64, 32)):
-            act = PWCConv(f, 3, 1, dtype=self.dtype, name=f"conv{self.lvl}_{i}")(x)
-            x = jnp.concatenate([act, x], axis=3)
-        upfeat = x
-        flow = PWCConv(2, 3, 1, activation=None, dtype=self.dtype, name=f"flow{self.lvl}")(upfeat)
-        return upfeat, flow
+            act = PWCConv(f, 3, 1, dtype=self.dtype, name=f"conv{self.lvl}_{i}")(parts)
+            parts = [act] + parts
+        flow = PWCConv(2, 3, 1, activation=None, dtype=self.dtype,
+                       name=f"flow{self.lvl}")(parts)
+        return parts, flow
 
 
 class ContextNet(nn.Module):
-    """Dilated context refinement (model_pwcnet.py:511-576, use_res_cx=True)."""
+    """Dilated context refinement (model_pwcnet.py:511-576, use_res_cx=True).
+    `feat_parts` is the estimator's channel-parts list (logical concat)."""
 
     lvl: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, flow):
-        x = feat
+    def __call__(self, feat_parts, flow):
+        x = feat_parts
         dims = ((128, 1), (128, 2), (128, 4), (96, 8), (64, 16), (32, 1))
         for i, (f, rate) in enumerate(dims, start=1):
             x = PWCConv(f, 3, 1, rate=rate, dtype=self.dtype, name=f"dc_conv{self.lvl}{i}")(x)
@@ -91,6 +100,11 @@ class PWCNet(nn.Module):
     search_range: int = 4
     dtype: jnp.dtype = jnp.float32
     use_pallas_costvol: bool = False
+    # Warp gather formulation (ops/warp.py). "quad" pre-replicates the 2x2
+    # tap patch so one gathered row carries all four taps; measured fastest
+    # in-context once the estimator runs concat-free (tools/bench_split_conv.py:
+    # 131.6 ms vs 138.2 flat at batch 32). Bit-identical tap math.
+    warp_method: str = "quad"
 
     @nn.compact
     def __call__(self, img1, img2, return_pyramid: bool = False,
@@ -114,15 +128,18 @@ class PWCNet(nn.Module):
             if lvl == self.pyr_lvls:
                 corr = cost_volume(c1[lvl], c2[lvl], self.search_range,
                                    use_pallas=self.use_pallas_costvol)
-                x = corr
+                x = [corr]
             else:
                 # Scale upsampled flow into this level's pixel units
                 # (model_pwcnet.py:616: 20 / 2**lvl).
                 scaler = 20.0 / 2**lvl
-                warped = dense_image_warp(c2[lvl], up_flow * scaler)
+                warped = dense_image_warp(c2[lvl], up_flow * scaler,
+                                          method=self.warp_method)
                 corr = cost_volume(c1[lvl], warped, self.search_range,
                                    use_pallas=self.use_pallas_costvol)
-                x = jnp.concatenate([corr, c1[lvl], up_flow, up_feat], axis=3)
+                # Channel-parts list standing for the reference's
+                # concat([corr, c1, up_flow, up_feat]) — never materialized.
+                x = [corr, c1[lvl], up_flow, up_feat]
 
             upfeat, flow = FlowEstimator(lvl, dtype=dt, name=f"estimator{lvl}")(x)
             flow = ContextNet(lvl, dtype=dt, name=f"ctxt{lvl}")(upfeat, flow)

@@ -40,6 +40,12 @@ def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False):
 
 
 def _cost_volume_xla(c1, warp, search_range: int):
+    # The 81 per-shift maps are stacked on a MAJOR axis ([B, 81, H, W]) and
+    # transposed to channels-last once at the end: stacking on the channel
+    # (lane) axis makes every [B,H,W,1] stack operand acquire 128x lane
+    # padding through TPU layout (seen as 238 MB copies in the batch-64 OOM
+    # dump); the major-axis stack keeps W in the lanes. LeakyReLU is applied
+    # pre-transpose so the transpose is the last op (tools/bench_costvol_v2.py).
     r = search_range
     b, h, w, c = c1.shape
     padded = jnp.pad(warp, ((0, 0), (r, r), (r, r), (0, 0)))
@@ -51,5 +57,5 @@ def _cost_volume_xla(c1, warp, search_range: int):
                 padded, (0, dy, dx, 0), (b, dy + h, dx + w, c)
             )
             costs.append(jnp.sum(c1 * shifted, axis=3) * inv_c)
-    vol = jnp.stack(costs, axis=3)
-    return jax.nn.leaky_relu(vol, negative_slope=0.1)
+    vol = jax.nn.leaky_relu(jnp.stack(costs, axis=1), negative_slope=0.1)
+    return vol.transpose(0, 2, 3, 1)

@@ -11,12 +11,12 @@ TPU gathers are row-issue-bound (~57M rows/s on v5e regardless of row width
 gathered rows is the only lever: the quad/dup2 variants below pre-replicate
 the operand so one gathered row carries several taps (exact; taps are
 bit-identical). ISOLATED they win big (PWC L2 shapes, batch 32:
-26.9 -> 10.8 ms quad; L3: 3.9 -> 3.4 ms dup2), but IN CONTEXT of the full
-PWC forward they lose (tools/bench_pwc_warpmode.py: flat 149.9 ms vs
-quad/dup2 155-160 ms) — the operand-replication copies cost more than the
-saved gather rows once XLA schedules them inside the level loop. The flat
-4-gather formulation therefore stays the default; the variants are kept for
-future shapes where the isolated regime applies.
+26.9 -> 10.8 ms quad). IN CONTEXT the winner depends on what else competes
+for HBM/copy slots: against the round-1 concat-heavy estimator, flat won
+(tools/bench_pwc_warpmode.py: 149.9 ms vs 155-160); once the estimator went
+concat-free, quad wins (tools/bench_split_conv.py: 131.6 ms vs 138.2 at
+batch 32). `dense_image_warp(method=...)` selects the formulation; PWCNet
+defaults to "quad", standalone callers to "flat".
 """
 
 from __future__ import annotations
@@ -101,7 +101,10 @@ def _warp_quad(image, flow):
                  taps[..., 2 * c:3 * c], taps[..., 3 * c:], ay, ax)
 
 
-def dense_image_warp(image, flow):
+_WARP_METHODS = {"flat": _warp_flat, "dup2": _warp_dup2, "quad": _warp_quad}
+
+
+def dense_image_warp(image, flow, method: str = "flat"):
     """Backward-warp `image` by `flow`.
 
     Semantics match the reference's dense_image_warp (core_warp.py:42-202):
@@ -111,8 +114,12 @@ def dense_image_warp(image, flow):
         image: (B, H, W, C) float array.
         flow: (B, H, W, 2) float array; channel 0 is the y displacement,
             channel 1 the x displacement.
+        method: gather formulation — "flat" (4 gathers of C-wide rows),
+            "dup2" (2 gathers of 2C rows), or "quad" (1 gather of 4C rows).
+            All three produce bit-identical taps; the fastest choice is
+            context-dependent (see module docstring).
 
     Returns:
         (B, H, W, C) warped image, same dtype as `image`.
     """
-    return _warp_flat(image, flow)
+    return _WARP_METHODS[method](image, flow)

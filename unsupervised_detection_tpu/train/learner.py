@@ -4,7 +4,9 @@ TPU-native redesign of the reference AdversarialLearner
 (models/adversarial_learner.py:206-448):
 
   * one pytree TrainState {generator, recover, frozen PWC, two Adam states,
-    step, rng} instead of scope-filtered tf.Variables;
+    step, rng} instead of scope-filtered tf.Variables; Adam is the TF1
+    formulation with the reference's shared bias-correction step
+    (train/optim.py);
   * two jitted step functions (recover / generator) sharing the forward
     construction; each compiles once and is driven by the reference's
     1:3 alternation schedule from Python;
@@ -23,7 +25,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from flax import struct
 
 from ..config import Config
@@ -31,6 +32,7 @@ from ..ops.augment import augment_pair
 from ..ops.resize import central_crop_resize
 from ..parallel.mesh import data_sharding, make_mesh, replicate, shard_batch
 from .objective import AdversarialObjective
+from .optim import AdamState, adam_apply, adam_init
 
 
 class TrainState(struct.PyTreeNode):
@@ -40,8 +42,16 @@ class TrainState(struct.PyTreeNode):
     gen_stats: Any
     rec_params: Any
     pwc_params: Any
-    gen_opt: optax.OptState
-    rec_opt: optax.OptState
+    gen_opt: AdamState
+    rec_opt: AdamState
+
+    @property
+    def shared_adam_t(self):
+        """The reference's shared Adam bias-correction step for the NEXT
+        apply: its single AdamOptimizer instance decays the beta-power
+        accumulators on every apply_gradients of either net
+        (train/optim.py module docstring)."""
+        return self.gen_opt.count + self.rec_opt.count + 1
 
 
 def _clip_or_noise(rng, grads, clip_value, noise_threshold, can_change):
@@ -73,11 +83,10 @@ class AdversarialLearner:
     def __init__(self, config: Config, mesh=None):
         self.config = config
         self.objective = AdversarialObjective(config)
-        self.optimizer = optax.adam(
-            learning_rate=config.learning_rate,
-            b1=config.beta1,
-            b2=0.999,
-            eps=config.adam_epsilon,
+        # (lr, b1, b2, eps) for train/optim.adam_apply — TF1-Adam semantics
+        # with the shared step (adversarial_learner.py:216-233).
+        self.adam_hparams = (
+            config.learning_rate, config.beta1, 0.999, config.adam_epsilon,
         )
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=config.mesh_data or None, n_model=config.mesh_model,
@@ -105,8 +114,8 @@ class AdversarialLearner:
             gen_stats=gen_vars["batch_stats"],
             rec_params=rec_vars["params"],
             pwc_params=pwc_vars["params"],
-            gen_opt=self.optimizer.init(gen_vars["params"]),
-            rec_opt=self.optimizer.init(rec_vars["params"]),
+            gen_opt=adam_init(gen_vars["params"]),
+            rec_opt=adam_init(rec_vars["params"]),
         )
         # Replicate across the mesh so jit sees consistent shardings.
         return jax.device_put(state, replicate(self.mesh))
@@ -136,8 +145,10 @@ class AdversarialLearner:
             grads = _clip_or_noise(
                 r_noise, grads, cfg.gradient_clip, cfg.grad_noise_threshold, True
             )
-            updates, gen_opt = self.optimizer.update(grads, state.gen_opt, state.gen_params)
-            gen_params = optax.apply_updates(state.gen_params, updates)
+            t = state.shared_adam_t if cfg.adam_shared_step else state.gen_opt.count + 1
+            gen_params, gen_opt = adam_apply(
+                grads, state.gen_opt, state.gen_params, t, *self.adam_hparams
+            )
             new_state = state.replace(rng=rng, gen_params=gen_params, gen_opt=gen_opt)
             # The post-clip/noise grads are returned for summary histograms
             # (reference logs clipped_grad_and_vars, adversarial_learner.py:283-290);
@@ -157,8 +168,10 @@ class AdversarialLearner:
             grads = _clip_or_noise(
                 r_noise, grads, cfg.gradient_clip, cfg.grad_noise_threshold, False
             )
-            updates, rec_opt = self.optimizer.update(grads, state.rec_opt, state.rec_params)
-            rec_params = optax.apply_updates(state.rec_params, updates)
+            t = state.shared_adam_t if cfg.adam_shared_step else state.rec_opt.count + 1
+            rec_params, rec_opt = adam_apply(
+                grads, state.rec_opt, state.rec_params, t, *self.adam_hparams
+            )
             new_state = state.replace(rng=rng, rec_params=rec_params, rec_opt=rec_opt)
             return new_state, losses, grads
 
