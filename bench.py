@@ -5,11 +5,19 @@ This is the reference pipeline's benchmarked configuration (BASELINE.json:
 "DAVIS2016 raw inference" — PWCNet flow at 640x384 + generator mask at
 384x192 per frame pair). The reference publishes no throughput numbers
 (BASELINE.md); the north star is >=10x an estimated TF1-era single-GPU
-throughput. We document the assumed TF1-GPU baseline as 25 frames/sec
-(PWC-Net small runs ~30-40 fps at this resolution on a 2019 GPU in TF1, and
-the reference adds the generator forward on top), and report
-vs_baseline = fps / 25.0 so the driver can track the 10x goal as
+throughput. We document the assumed TF1-GPU baseline as 25 frames/sec and
+report vs_baseline = fps / 25.0 so the driver can track the 10x goal as
 vs_baseline >= 10.
+
+Basis for the 25 fps assumption (tools/bench_reference_tf1.py measures the
+anchor): the reference's own TF1 graph — built from its verbatim modules —
+runs 0.69 fps on this host's CPU (fp32, batch 4). A 2019-class GPU (the
+reference's documented environment is TF 1.13/CUDA 10.1) delivers roughly
+30-50x CPU throughput on conv workloads, bracketing the TF1-GPU figure at
+~20-35 fps; PWC-Net-class models are commonly quoted at ~30-40 fps at this
+resolution on such GPUs, and the reference adds the generator forward on
+top. 25 fps sits mid-bracket; even at the most generous 35 fps estimate the
+measured 340 fps parity number is 9.7x, and 13.6x at the midpoint.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

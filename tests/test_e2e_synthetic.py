@@ -80,9 +80,21 @@ def test_train_and_evaluate(davis_root, tmp_path):
     assert a.shape == b.shape
     assert not np.allclose(np.asarray(b), np.asarray(f))
 
-    # full evaluation path over the val partition
+    # full evaluation path over the val partition (metrics-only fast path)
     results = evaluate_dataset(cfg, restored, verbose=True)
     assert results["frames"] >= 10
     assert 0.0 <= results["dataset_iou"] <= 1.0
     assert np.isfinite(results["dataset_mae"])
     assert set(results["category_iou"].keys()) == {"seq_b"}
+
+    # the dense (visualization) path must produce identical metrics — it
+    # computes IoU/MAE on host from fetched masks instead of on device
+    viz_dir = str(tmp_path / "viz")
+    dense = evaluate_dataset(cfg, restored, save_dir=viz_dir,
+                             generate_visualization=True, verbose=False)
+    assert dense["frames"] == results["frames"]
+    np.testing.assert_allclose(dense["dataset_iou"], results["dataset_iou"],
+                               atol=1e-5)
+    np.testing.assert_allclose(dense["dataset_mae"], results["dataset_mae"],
+                               atol=1e-5)
+    assert os.path.isdir(os.path.join(viz_dir, "seq_b"))

@@ -21,6 +21,7 @@ import numpy as np
 from ..config import Config
 from ..data import TestPipeline, get_reader
 from ..data.device_input import DeviceFeeder
+from ..ops.metrics import eval_iou_mae
 from ..ops.resize import central_crop_resize, resize_nearest
 from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..train.objective import AdversarialObjective
@@ -102,11 +103,35 @@ class Evaluator:
                 "gt_masks": gt,
             }
 
+        def infer_metrics(gen_params, gen_stats, pwc_params, img1, img2, gt):
+            # Metrics-only variant: same crop/flow/mask path, but IoU+MAE are
+            # reduced on device (ops/metrics.eval_iou_mae — exact
+            # test_generator.py:19-40 semantics) so only two scalars per
+            # frame leave the chip. The recover forward is skipped: the
+            # reference computes it at test time but never uses it in the
+            # metrics (adversarial_learner.py:508-522, test_generator.py:80-91).
+            if cfg.test_crop != 1.0:
+                img1 = central_crop_resize(img1, cfg.test_crop)
+                img2 = central_crop_resize(img2, cfg.test_crop)
+                gt = central_crop_resize(gt, cfg.test_crop)
+            flow = obj.compute_flow(pwc_params, img1, img2)
+            image, flow = obj.resize_to_working(img1, flow)
+            gt = resize_nearest(gt, (cfg.img_height, cfg.img_width))
+            mask = obj.generate_mask(gen_params, gen_stats, image, flow)
+            iou_b, mae_b = eval_iou_mae(mask.astype(jnp.float32),
+                                        gt.astype(jnp.float32))
+            return {"iou": iou_b, "mae": mae_b}
+
         shard = data_sharding(self.mesh)
         repl = replicate(self.mesh)
         self.infer = jax.jit(
             infer,
             in_shardings=(repl, repl, repl, repl, shard, shard, shard),
+            out_shardings=shard,
+        )
+        self.infer_metrics = jax.jit(
+            infer_metrics,
+            in_shardings=(repl, repl, repl, shard, shard, shard),
             out_shardings=shard,
         )
         self.feeder = DeviceFeeder(self.mesh, (cfg.reader_height, cfg.reader_width))
@@ -118,14 +143,17 @@ class Evaluator:
 
 
 def evaluate_dataset(config: Config, state, save_dir: Optional[str] = None,
-                     generate_visualization: bool = False, verbose: bool = True):
+                     generate_visualization: bool = False, verbose: bool = True,
+                     evaluator: Optional[Evaluator] = None):
     """Full dataset evaluation; returns the metrics dict
-    (test_generator.py:42-132)."""
+    (test_generator.py:42-132). Pass `evaluator` to reuse compiled steps
+    across repeated evaluations of the same config."""
     reader = get_reader(config.dataset, config.root_dir,
                         max_temporal_len=config.max_temporal_len,
                         min_temporal_len=config.min_temporal_len,
                         num_threads=1)
-    evaluator = Evaluator(config)
+    if evaluator is None:
+        evaluator = Evaluator(config)
 
     if config.dataset == "FBMS":
         tuples = reader.test_tuples(config.test_partition, config.test_temporal_shift)
@@ -150,8 +178,24 @@ def evaluate_dataset(config: Config, state, save_dir: Optional[str] = None,
     category_iou: Dict[str, list] = {}
     category_mae: Dict[str, list] = {}
     i = 0
+    fetch_dense = bool(generate_visualization and save_dir)
     for batch in pipeline:
         img1, img2, gt = evaluator.device_batch(batch)
+        if not fetch_dense:
+            # Metrics-only fast path: IoU/MAE reduce on device; only two
+            # scalars per frame cross the host<->device link.
+            out = evaluator.infer_metrics(
+                state.gen_params, state.gen_stats, state.pwc_params,
+                img1, img2, gt,
+            )
+            ious = np.asarray(out["iou"])
+            maes = np.asarray(out["mae"])
+            for b in range(ious.shape[0]):
+                category = batch["category"][b]
+                category_iou.setdefault(category, []).append(float(ious[b]))
+                category_mae.setdefault(category, []).append(float(maes[b]))
+                i += 1
+            continue
         out = evaluator.infer(
             state.gen_params, state.gen_stats, state.rec_params, state.pwc_params,
             img1, img2, gt,

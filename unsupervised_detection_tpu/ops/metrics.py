@@ -79,3 +79,30 @@ def compute_all_iou(pred_masks, gt_masks, threshold: float = MASK_THRESHOLD):
 def mae(gt_mask, pred_mask):
     """Mean absolute error between masks (test_generator.py:38-40)."""
     return jnp.mean(jnp.abs(gt_mask - pred_mask))
+
+
+def eval_iou_mae(pred_masks, gt_masks, threshold: float = MASK_THRESHOLD):
+    """Exact on-device replica of the reference eval metrics.
+
+    Mirrors test_generator.py:19-40 (compute_IoU + compute_mae) per sample:
+    binarize at `threshold`, flip to the complement when the mask occupies
+    >= 60% of the 2-pixel border, GT truthiness is `astype(bool)` (any
+    nonzero pixel), IoU = 1.0 when prediction and GT are BOTH empty, and
+    MAE between the soft GT and the binary annotation. Lets evaluation
+    fetch two scalars per frame instead of five dense tensors.
+
+    Args:
+        pred_masks: (B, H, W, 1) soft masks in [0, 1].
+        gt_masks: (B, H, W, 1) soft GT in [0, 1].
+    Returns:
+        (iou, mae): each (B,) float32.
+    """
+    ann = disambiguate_forward_background(pred_masks, threshold)
+    ann_b = ann > 0.5
+    gt_b = gt_masks.astype(bool)
+    inter = jnp.sum((ann_b & gt_b).astype(jnp.float32), axis=(1, 2, 3))
+    union = jnp.sum((ann_b | gt_b).astype(jnp.float32), axis=(1, 2, 3))
+    iou_b = jnp.where(union == 0, 1.0, inter / jnp.maximum(union, 1.0))
+    mae_b = jnp.mean(jnp.abs(gt_masks.astype(jnp.float32) - ann),
+                     axis=(1, 2, 3))
+    return iou_b, mae_b
