@@ -17,7 +17,7 @@ reference's documented environment is TF 1.13/CUDA 10.1) delivers roughly
 ~20-35 fps; PWC-Net-class models are commonly quoted at ~30-40 fps at this
 resolution on such GPUs, and the reference adds the generator forward on
 top. 25 fps sits mid-bracket; even at the most generous 35 fps estimate the
-measured 340 fps parity number is 9.7x, and 13.6x at the midpoint.
+measured 516 fps parity number is 14.7x, and 20.6x at the midpoint.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -41,10 +41,11 @@ def main():
     from unsupervised_detection_tpu.train.objective import AdversarialObjective
 
     args = sys.argv[1:]
-    # Batch 64 default: the concat-free estimator + major-axis costvol stack
-    # made batch 64 fit (round 1 OOM'd on lane-padded stack copies) and it
-    # outruns batch 32 by ~1.45x (339.8 vs 232.9 fps parity, 2026-08-16).
-    batch = int(args[0]) if args else 64
+    # Batch 128 default: the concat-free estimator + major-axis costvol stack
+    # made large batches fit (round 1 OOM'd at 64 on lane-padded stack
+    # copies); measured parity fps by batch: 32 -> 233, 64 -> 343,
+    # 128 -> 516, 192 -> 400 (2026-08-17). 128 is the sweet spot.
+    batch = int(args[0]) if args else 128
     modes = set(args[1:])
     compute_dtype = "float32" if "float32" in modes else "bfloat16"
     unknown = modes - {"float32", "bfloat16", "pallas", "fast"}

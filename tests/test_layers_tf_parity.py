@@ -79,3 +79,23 @@ def test_elu_and_leaky_relu_match_tf():
         np.asarray(jax.nn.leaky_relu(jnp.asarray(x), 0.1)),
         tf.nn.leaky_relu(tf.constant(x), alpha=0.1).numpy(), rtol=1e-6,
     )
+
+
+def test_gen_deconv_subpixel_matches_explicit_upsample():
+    """GenDeconv's subpixel decomposition (_NN2SubpixelConv3) must equal the
+    explicit x2 NN upsample (align_corners=True) + GenConv path it replaces
+    (reference gen_deconv, convolution_utils.py:55-75)."""
+    from unsupervised_detection_tpu.models.layers import GenConv, GenDeconv
+    from unsupervised_detection_tpu.ops.resize import resize_nearest
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 24, 6), jnp.float32)
+    mod = GenDeconv(9, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    got = mod.apply(variables, x)
+
+    xup = resize_nearest(x, (24, 48), align_corners=True)
+    ref_vars = {"params": variables["params"]["conv"],
+                "batch_stats": variables["batch_stats"]["conv"]}
+    want = GenConv(9, 3, 1, dtype=jnp.float32).apply(ref_vars, xup)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=3e-6)

@@ -29,6 +29,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import jax
+
+# The installed TPU plugin ignores JAX_PLATFORMS; force the CPU backend so
+# this experiment never dials (or blocks on) the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from unsupervised_detection_tpu.config import Config
@@ -42,18 +47,28 @@ SQUARE = 28
 
 
 def make_batch(rng: np.random.RandomState, batch: int):
-    """Images with a textured square + flow random inside it, zero outside."""
+    """Images with a textured square; background flow is a smooth random
+    affine field (predictable from context, like real camera motion), the
+    square carries an independent affine field. The contextual-information
+    -separation optimum is then exactly the square: any other partition
+    leaks an extrapolatable field across the mask boundary."""
     img = rng.rand(batch, H, W, 3).astype(np.float32) * 0.08 - 0.5
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    yy, xx = (yy - H / 2) / H, (xx - W / 2) / W
     flow = np.zeros((batch, H, W, 2), np.float32)
     gt = np.zeros((batch, H, W, 1), np.float32)
     for b in range(batch):
         y = rng.randint(0, H - SQUARE)
         x = rng.randint(0, W - SQUARE)
         img[b, y : y + SQUARE, x : x + SQUARE] += 0.35
-        u, v = rng.uniform(3.0, 12.0, size=2) * rng.choice([-1.0, 1.0], size=2)
-        flow[b, y : y + SQUARE, x : x + SQUARE, 0] = u
-        flow[b, y : y + SQUARE, x : x + SQUARE, 1] = v
-        gt[b, y : y + SQUARE, x : x + SQUARE] = 1.0
+        for ch in range(2):  # background: affine a + b*x + c*y
+            a, bb, cc = rng.uniform(-6.0, 6.0), rng.uniform(-8, 8), rng.uniform(-8, 8)
+            flow[b, :, :, ch] = a + bb * xx + cc * yy
+        box = np.s_[y : y + SQUARE, x : x + SQUARE]
+        for ch in range(2):  # square: independent affine
+            a, bb, cc = rng.uniform(-12.0, 12.0), rng.uniform(-8, 8), rng.uniform(-8, 8)
+            flow[b][box + (ch,)] = a + bb * xx[box] + cc * yy[box]
+        gt[b][box] = 1.0
     return img, flow / 80.0, gt
 
 

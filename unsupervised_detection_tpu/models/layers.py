@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.resize import resize_bilinear, resize_nearest
+from ..ops.resize import resize_bilinear
 
 BN_EPSILON = 1e-3  # tf.layers.batch_normalization default
 
@@ -36,6 +36,62 @@ def leaky_relu_01(x):
     return jax.nn.leaky_relu(x, negative_slope=0.1)
 
 
+class _NN2SubpixelConv3(nn.Module):
+    """3x3 conv applied to the x2 nearest-neighbor upsample of the input —
+    computed WITHOUT materializing the upsample.
+
+    With align_corners=True the x2 NN upsample is exactly pixel replication
+    (src = floor(o / 2)), so a SAME 3x3 conv over it collapses, per output
+    parity (di, dj) in {0,1}^2, into a 2x2 conv over the ORIGINAL grid whose
+    kernel sums adjacent taps of the 3x3 kernel:
+
+        rows for di=0: [K0, K1+K2] (pad top),  di=1: [K0+K1, K2] (pad bottom)
+
+    and the four parity outputs interleave back to the 2x-resolution image.
+    Identical math (kernel-tap additions reassociated), 2.25x fewer MXU
+    FLOPs, and none of the upsample matmuls/layout copies that made the
+    decoder the generator's hottest region on TPU. Parameter names, shapes,
+    and init match nn.Conv(name=...) exactly, so checkpoints are unaffected.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    epilogue: Optional[Callable] = None  # elementwise, applied per parity
+                                         # pre-interleave so it fuses into the
+                                         # four small conv output fusions
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (3, 3, cin, self.features), jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        def collapse(k, parity, axis):
+            k0, k1, k2 = (jax.lax.index_in_dim(k, i, axis) for i in range(3))
+            pair = (k0, k1 + k2) if parity == 0 else (k0 + k1, k2)
+            return jnp.concatenate(pair, axis=axis)
+
+        rows = []
+        for di in (0, 1):
+            cols = []
+            for dj in (0, 1):
+                k2x2 = collapse(collapse(kernel, di, 0), dj, 1).astype(self.dtype)
+                pad = ((1 - di, di), (1 - dj, dj))
+                y = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), k2x2, (1, 1), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    precision=conv_precision(self.dtype),
+                ) + bias.astype(self.dtype)
+                cols.append(self.epilogue(y) if self.epilogue else y)
+            rows.append(jnp.stack(cols, axis=3))       # (B, h, w, 2, C)
+        z = jnp.stack(rows, axis=2)                    # (B, h, 2, w, 2, C)
+        b, h, _, w, _, c = z.shape
+        return z.reshape(b, 2 * h, 2 * w, c)
+
+
 class GenConv(nn.Module):
     """Conv + inference-mode BatchNorm + ELU (reference gen_conv,
     convolution_utils.py:26-53).
@@ -44,6 +100,10 @@ class GenConv(nn.Module):
     their (0, 1) init and act as a regularizing affine whose gamma/beta ARE
     trained. We keep the statistics in the `batch_stats` collection (frozen;
     XLA constant-folds them) and gamma/beta in `params`.
+
+    With `nn2_upsample=True` the conv consumes the x2 nearest-neighbor
+    upsample of the input via the subpixel decomposition (_NN2SubpixelConv3)
+    instead of a materialized resize; requires kernel 3, stride 1, rate 1.
     """
 
     features: int
@@ -52,9 +112,31 @@ class GenConv(nn.Module):
     rate: int = 1
     activation: Optional[Callable] = nn.elu
     dtype: jnp.dtype = jnp.float32
+    nn2_upsample: bool = False
 
     @nn.compact
     def __call__(self, x):
+        gamma = self.param("bn_gamma", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("bn_beta", nn.initializers.zeros, (self.features,), jnp.float32)
+        moving_mean = self.variable(
+            "batch_stats", "bn_moving_mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        moving_var = self.variable(
+            "batch_stats", "bn_moving_variance", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        scale = (gamma * jax.lax.rsqrt(moving_var.value + BN_EPSILON)).astype(self.dtype)
+        shift = (beta - moving_mean.value * gamma * jax.lax.rsqrt(moving_var.value + BN_EPSILON)).astype(self.dtype)
+
+        def bn_act(y):
+            y = y * scale + shift
+            return self.activation(y) if self.activation is not None else y
+
+        if self.nn2_upsample:
+            assert (self.kernel_size, self.stride, self.rate) == (3, 1, 1)
+            # BN+activation ride along as the subpixel conv's per-parity
+            # epilogue (elementwise, so interleave-order commutes).
+            return _NN2SubpixelConv3(self.features, dtype=self.dtype,
+                                     epilogue=bn_act, name="conv")(x)
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),
@@ -67,20 +149,7 @@ class GenConv(nn.Module):
             precision=conv_precision(self.dtype),
             name="conv",
         )(x)
-        gamma = self.param("bn_gamma", nn.initializers.ones, (self.features,), jnp.float32)
-        beta = self.param("bn_beta", nn.initializers.zeros, (self.features,), jnp.float32)
-        moving_mean = self.variable(
-            "batch_stats", "bn_moving_mean", lambda: jnp.zeros((self.features,), jnp.float32)
-        )
-        moving_var = self.variable(
-            "batch_stats", "bn_moving_variance", lambda: jnp.ones((self.features,), jnp.float32)
-        )
-        scale = (gamma * jax.lax.rsqrt(moving_var.value + BN_EPSILON)).astype(self.dtype)
-        shift = (beta - moving_mean.value * gamma * jax.lax.rsqrt(moving_var.value + BN_EPSILON)).astype(self.dtype)
-        x = x * scale + shift
-        if self.activation is not None:
-            x = self.activation(x)
-        return x
+        return bn_act(x)
 
 
 class GenDeconv(nn.Module):
@@ -92,9 +161,10 @@ class GenDeconv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h, w = x.shape[1], x.shape[2]
-        x = resize_nearest(x, (2 * h, 2 * w), align_corners=True)
-        return GenConv(self.features, 3, 1, dtype=self.dtype, name="conv")(x)
+        # The x2 NN upsample + 3x3 conv runs as the subpixel decomposition
+        # (see _NN2SubpixelConv3) — same math, no upsampled intermediate.
+        return GenConv(self.features, 3, 1, dtype=self.dtype,
+                       nn2_upsample=True, name="conv")(x)
 
 
 class BiasedConv(nn.Module):
