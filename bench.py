@@ -54,8 +54,8 @@ def main():
                          "expected float32|bfloat16|pallas|fast")
     use_pallas = "pallas" in modes
     # Non-parity throughput mode: "fast" runs the flow net at half reader
-    # resolution (~627 fps/chip measured vs ~189 parity; the generator input
-    # is standardized flow, so magnitudes cancel). Parity mode is the
+    # resolution (~1495 fps/chip at batch 128 vs 516 parity; the generator
+    # input is standardized flow, so magnitudes cancel). Parity mode is the
     # reported default.
     flow_div = 2 if "fast" in modes else 1
 
