@@ -2,8 +2,9 @@
 """Does the adversarial game converge to the moving object?
 
 Trains generator+recover from scratch on synthetic (image, flow) pairs with
-a known moving square — flow is random inside the square, zero outside, so
-the contextual-information-separation optimum is exactly the square mask.
+a known moving square — the background carries a smooth random affine flow
+field and the square an independent affine field (see make_batch), so the
+contextual-information-separation optimum is exactly the square mask.
 PWC is bypassed (losses_from_flow) to isolate the two-player dynamics: same
 losses, clip/noise rule, shared-step TF1 Adam, and 1:3 alternation as real
 training (reference adversarial_learner.py:206-240,367-389).
