@@ -89,7 +89,25 @@ def main():
     )
     args = (gen_vars["params"], gen_vars["batch_stats"], pwc_vars["params"], img1, img2)
 
-    # Warmup/compile (fetch the checksum to force execution end-to-end).
+    # Analytic FLOP accounting from the compiled program itself: XLA's
+    # cost analysis counts every HLO's FLOPs (convs dominate; an MXU
+    # multiply-add counts as 2). This makes the MFU claim falsifiable:
+    # mfu = fps * flops/frame / ceiling. Two ceilings are reported — the
+    # measured chained-matmul ceiling on this chip (~68 TFLOP/s,
+    # tools/bench_trace_full.py calibration, ROADMAP "Perf context") and
+    # the v5e bf16 paper peak (197 TFLOP/s).
+    compiled = forward.lower(*args).compile()
+    flops_per_frame = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_frame = float(cost["flops"]) / batch
+    except Exception as e:  # cost_analysis is backend-dependent; fps still reports
+        print(f"cost_analysis unavailable ({type(e).__name__}: {e})", file=sys.stderr)
+    forward = compiled  # run the measured executable itself (one compile)
+
+    # Warmup (fetch the checksum to force execution end-to-end).
     float(forward(*args)[1])
 
     # Roundtrip latency of a sync alone, to subtract from the timed window.
@@ -108,12 +126,21 @@ def main():
         best = min(best, (time.perf_counter() - t0) / iters)
 
     fps = batch / best
-    print(json.dumps({
+    record = {
         "metric": "davis2016_flow_mask_inference_fps",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / ASSUMED_TF1_GPU_FPS, 2),
-    }))
+    }
+    if flops_per_frame is not None:
+        achieved = fps * flops_per_frame
+        record.update({
+            "flops_per_frame": round(flops_per_frame / 1e9, 2),  # GFLOP
+            "achieved_tflops": round(achieved / 1e12, 2),
+            "mfu_vs_measured_ceiling_68tflops": round(achieved / 68e12, 3),
+            "mfu_vs_v5e_bf16_peak_197tflops": round(achieved / 197e12, 3),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

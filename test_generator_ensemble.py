@@ -74,6 +74,12 @@ def _test_masks(config):
                 out_masks[crop] = out_mask
                 cropped_iou.append(iou)
                 cropped_mae.append(compute_mae_np(gt_mask=gt_mask, pred_mask=out_mask))
+            # Deliberate fix of a reference bug: the reference's
+            # except-KeyError branch seeds a brand-new category with the LAST
+            # crop's iou/mae instead of the 4-crop mean
+            # (test_generator_ensemble.py:75-80 upstream), so the first frame
+            # of every category is mis-averaged there. We use the crop mean
+            # for every frame, including the first.
             category_iou.setdefault(category, []).append(float(np.mean(cropped_iou)))
             category_mae.setdefault(category, []).append(float(np.mean(cropped_mae)))
 

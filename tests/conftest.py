@@ -9,6 +9,9 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Silence benign XLA:CPU AOT cache-load E-lines (machine-feature tuning
+# hints); must be set before the XLA C++ library loads.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 # Legacy Keras restores tf.compat.v1.layers (Keras 3 removed it), which the
 # reference-oracle tests need to build the reference's actual TF1 graphs.
 # Must be set before the first tensorflow import in the process.
@@ -24,3 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: PWC-sized programs take minutes to compile
+# cold on this 1-core host; caching amortizes them across test runs.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_compilation"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

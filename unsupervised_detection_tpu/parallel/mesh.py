@@ -70,7 +70,9 @@ def shard_batch(mesh: Mesh, batch):
     """Place a host batch (pytree of arrays) onto the mesh, batch-sharded.
 
     The leading axis of every leaf must be divisible by the data-axis size;
-    callers pad ragged eval tails before sharding (see eval/evaluator.py).
+    eval pipelines keep batches full-size by wrapping the final ragged batch
+    cyclically, exactly like the reference's drop_remainder-free test feed
+    (see data/loader.py TestPipeline).
     """
     sharding = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)

@@ -3,10 +3,17 @@
 The reference repo ships only the resulting checkpoint ("Recover pretrain:
 flow inpainting of box occlusions on FlyingChairs", BASELINE.json configs;
 README.md:83-87) — the training procedure itself is not in the repo. This
-module provides it TPU-natively: given frame pairs from any reader (or a
-FlyingChairs-style directory with ground-truth .flo files), the recover net
-is trained to reconstruct the flow inside randomly placed box masks, with
-the same losses/optimizer family as the adversarial stage.
+module provides it TPU-natively: given frame pairs from any reader, PWC
+flow is computed on device and the recover net is trained to reconstruct
+that flow inside randomly placed box masks, with the same Charbonnier loss
+family as the adversarial stage. (No ground-truth .flo reading exists —
+supervision is always the frozen PWC net's flow on frame pairs.)
+
+Optimizer note: this stage uses optax.adam rather than the hand-built
+TF1-exact Adam in train/optim.py. The reference ships NO pretraining code
+(only the resulting checkpoint), so there is no TF1 numerics contract to
+honor here; the adversarial stage keeps the TF1-exact optimizer because its
+train dynamics ARE golden-tested against the reference.
 """
 
 from __future__ import annotations
