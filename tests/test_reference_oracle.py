@@ -200,6 +200,61 @@ def test_recover_forward_matches_reference(ref, variables, objective):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
 
 
+def test_full_test_graph_composition_matches_reference(ref, variables, objective):
+    """The COMPOSED production forward at the real widths: PWC at 384x640 ->
+    tf.image.resize_images to 192x384 (vectors NOT rescaled) -> /80 ->
+    per-image flow standardization -> generator mask
+    (adversarial_learner.py:82-107). The individual modules are golden-tested
+    above; this pins the full-path numerics including the 640-wide resize
+    (the width where fp32 source-position rounding matters, ops/resize.py)
+    and the standardize/normalize chain."""
+    gen_vars, _, pwc_vars = variables
+    values = _mapped_names(
+        gen_vars["params"],
+        tf1_import.generator_name_map(gen_vars["params"], gen_vars["batch_stats"]))
+    values.update(_mapped_names(
+        gen_vars["batch_stats"],
+        tf1_import.generator_name_map(gen_vars["params"], gen_vars["batch_stats"])))
+    values.update(_mapped_names(pwc_vars["params"],
+                                tf1_import.pwc_name_map(pwc_vars["params"])))
+
+    rs = np.random.RandomState(21)
+
+    def smooth(seed):
+        base = rs.rand(1, READER_HW[0] // 8, READER_HW[1] // 8, 3).astype(np.float32)
+        img = jax.image.resize(jnp.asarray(base), (1,) + READER_HW + (3,), "linear")
+        return np.asarray(img) - 0.5
+
+    img1, img2 = smooth(0), smooth(1)
+
+    tf1 = ref.tf1
+    g = tf1.Graph()
+    with g.as_default():
+        p1 = tf1.placeholder(tf1.float32, [1, READER_HW[0], READER_HW[1], 3])
+        p2 = tf1.placeholder(tf1.float32, [1, READER_HW[0], READER_HW[1], 3])
+        model = ref.pwcnet.ModelPWCNet()
+        flow_t = model.predict_from_img_pairs(p1, p2)
+        img_w = tf1.image.resize_images(p1, [WORK_HW[0], WORK_HW[1]])
+        flow_w = tf1.image.resize_images(flow_t, [WORK_HW[0], WORK_HW[1]]) / 80.0
+        with tf1.name_scope("MaskNet") as scope:
+            mask_t = ref.nets.generator_net(
+                images=img_w, flows=ref.flow_utils.preprocess_flow_batch(flow_w),
+                training=False, scope=scope, reuse=False)
+    want = _run_with_weights(g, ref, values, mask_t, {p1: img1, p2: img2})
+
+    # Ours, eagerly (per-op dispatch keeps this 1-core-host test cheap).
+    flow_j = objective.compute_flow(pwc_vars["params"],
+                                    jnp.asarray(img1), jnp.asarray(img2))
+    image, flow_n = objective.resize_to_working(jnp.asarray(img1), flow_j)
+    got = np.asarray(objective.generate_mask(
+        gen_vars["params"], gen_vars["batch_stats"], image, flow_n))
+
+    assert got.shape == want.shape
+    # Masks are post-softmax in [0,1]; tolerance absorbs the fp32 drift of a
+    # 6-level coarse-to-fine flow feeding a standardized 17-conv generator.
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
 def test_pwc_forward_matches_reference(ref, variables, objective):
     _, _, pwc_vars = variables
     name_map = tf1_import.pwc_name_map(pwc_vars["params"])
