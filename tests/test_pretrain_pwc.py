@@ -1,0 +1,78 @@
+"""PWC synthetic pretraining: data construction + training progress."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_detection_tpu.config import Config
+from unsupervised_detection_tpu.ops.warp import dense_image_warp
+from unsupervised_detection_tpu.train.pretrain_pwc import (
+    multiscale_epe, pretrain_pwc, synthetic_flow_batch)
+
+
+def test_synthetic_batch_warp_convention():
+    """I2(p) = I1(p + F(p)): for a constant integer flow the warp is an
+    exact shift, pinning the (dy, dx) sign convention the trainer relies
+    on."""
+    rs = np.random.RandomState(0)
+    img1 = rs.rand(1, 16, 24, 3).astype(np.float32) - 0.5
+    flow = np.zeros((1, 16, 24, 2), np.float32)
+    flow[..., 0] = 2.0  # dy
+    flow[..., 1] = 3.0  # dx
+    img2 = np.asarray(dense_image_warp(jnp.asarray(img1), jnp.asarray(-flow)))
+    # Away from the clamped borders, I2[y, x] == I1[y+2, x+3].
+    np.testing.assert_allclose(img2[0, 2:13, 2:20], img1[0, 4:15, 5:23],
+                               atol=1e-6)
+
+
+def test_synthetic_batch_shapes_and_bounds():
+    rs = np.random.RandomState(1)
+    img1, img2, flow = synthetic_flow_batch(rs, 2, 32, 64, max_mag=5.0)
+    assert img1.shape == (2, 32, 64, 3) and img2.shape == (2, 32, 64, 3)
+    assert flow.shape == (2, 32, 64, 2)
+    assert np.abs(flow).max() <= 5.0
+    assert np.abs(img1).max() <= 0.5
+
+
+def test_multiscale_epe_zero_at_perfect_prediction():
+    rs = np.random.RandomState(2)
+    gt = jnp.asarray(rs.randn(1, 32, 64, 2).astype(np.float32))
+    pyr = [gt[:, ::8, ::8] / 4.0, gt[:, ::4, ::4] / 4.0]
+    # Perfect final prediction, imperfect pyramid: epe component must be 0.
+    loss, epe = multiscale_epe(gt, pyr, gt)
+    assert float(epe) == 0.0
+    assert float(loss) >= 0.0
+
+
+def test_pretrain_pwc_reduces_epe(tmp_path):
+    """A short run on small constant-translation scenes must cut EPE
+    substantially from the random-init baseline, and write a pwc-scope
+    checkpoint restorable by the train driver."""
+    cfg = Config(batch_size=4, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0,
+                 checkpoint_dir=str(tmp_path / "pwc_ckpt"))
+
+    def easy_batches(rng, batch, h, w):
+        # Constant small translations only — learnable in tens of steps.
+        return synthetic_flow_batch(rng, batch, h, w, max_mag=3.0)
+
+    import os
+
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    params0, epe0 = pretrain_pwc(cfg, steps=1, verbose=False,
+                                 batch_fn=easy_batches)
+    params, epe = pretrain_pwc(cfg, steps=40, verbose=False,
+                               batch_fn=easy_batches, save_every=40)
+    assert np.isfinite(epe)
+    assert epe < 0.7 * epe0, (epe0, epe)
+
+    # The checkpoint is a bare pwc-scope save the driver can restore.
+    from unsupervised_detection_tpu.train import checkpoint as ckpt
+
+    restored = ckpt.restore_checkpoint(
+        os.path.join(cfg.checkpoint_dir, "pwc-final"), params)
+    a = jax.tree.leaves(restored)[0]
+    b = jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))

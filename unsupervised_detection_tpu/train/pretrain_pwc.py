@@ -1,0 +1,155 @@
+"""PWC flow-network pretraining on synthetic warped scenes.
+
+The reference pipeline REQUIRES a pretrained PWC checkpoint and hard-aborts
+without one (adversarial_learner.py:339-343); it ships no code to produce
+one (the published ckpt comes from the external tfoptflow project). This
+module closes that gap TPU-natively: FlyingChairs-style supervised training
+on procedurally generated scenes — textured images warped by known smooth
+flow fields — so the framework can bootstrap its own flow network from
+scratch in environments with no external checkpoints or datasets.
+
+Data construction: given a textured frame I1 and a smooth flow field F
+(affine + low-frequency sinusoid, in (dy, dx) channel order matching
+ops/warp.dense_image_warp), the second frame is I2 = warp(I1, -F), i.e.
+I2(p) = I1(p + F(p)); the flow PWC should report for (I1, I2) is then F
+(the net warps its second feature pyramid by its flow estimate to align
+with the first, ops/warp.py semantics).
+
+Loss: end-point error on the final full-resolution output plus auxiliary
+EPE on each pyramid level against resize(F)/2**flow_pred_lvl — the target
+implied by the model's own output convention (the final x4 upsample
+multiplies magnitudes by 4, models/pwcnet.py; flow magnitudes are never
+rescaled by resizes in this framework, adversarial_learner.py:89-90).
+
+Optimizer note: optax.adam — like train/pretrain.py, there is no reference
+numerics contract for a stage the reference doesn't implement (the
+TF1-exact Adam in train/optim.py exists for the golden-tested adversarial
+stage).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..ops.resize import resize_bilinear
+from ..ops.warp import dense_image_warp
+from .objective import AdversarialObjective
+
+
+def synthetic_flow_batch(rng: np.random.RandomState, batch: int, height: int,
+                         width: int, max_mag: float = 12.0):
+    """(img1, img2, flow) with I2(p) = I1(p + F(p)) and smooth random F.
+
+    Images are multi-scale random textures in [-0.5, 0.5]; F is an affine
+    field plus a low-frequency sinusoidal perturbation, clipped to
+    +-max_mag pixels. All arrays float32; flow channel order (dy, dx)."""
+    def texture(scale, amp):
+        base = rng.rand(batch, height // scale, width // scale, 3).astype(np.float32)
+        up = jax.image.resize(jnp.asarray(base), (batch, height, width, 3), "linear")
+        return amp * (np.asarray(up) - 0.5)
+
+    img1 = np.clip(texture(8, 0.7) + texture(2, 0.3), -0.5, 0.5).astype(np.float32)
+
+    yy, xx = np.mgrid[0:height, 0:width].astype(np.float32)
+    yn, xn = (yy - height / 2) / height, (xx - width / 2) / width
+    flow = np.zeros((batch, height, width, 2), np.float32)
+    for b in range(batch):
+        for ch in range(2):
+            a = rng.uniform(-0.5, 0.5) * max_mag
+            lin = rng.uniform(-0.5, 0.5, 2) * max_mag
+            amp = rng.uniform(-0.3, 0.3) * max_mag
+            fy, fx = rng.uniform(1.0, 3.0, 2)
+            ph = rng.uniform(0, 2 * np.pi, 2)
+            flow[b, :, :, ch] = (
+                a + lin[0] * yn + lin[1] * xn
+                + amp * np.sin(2 * np.pi * fy * yn + ph[0])
+                * np.cos(2 * np.pi * fx * xn + ph[1])
+            )
+    flow = np.clip(flow, -max_mag, max_mag)
+    img2 = np.asarray(dense_image_warp(jnp.asarray(img1), jnp.asarray(-flow)))
+    return img1, img2, flow
+
+
+def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
+                   aux_weight: float = 0.1):
+    """Final-resolution EPE + auxiliary per-level EPE.
+
+    Pyramid levels are coarse->fine (models/pwcnet.py return_pyramid).
+    Per-level targets follow the scales the architecture itself implies
+    (model_pwcnet.py:616,642-647 — flow magnitudes are never rescaled by
+    resizes in this framework):
+      * levels above flow_pred_lvl: resize(F) / 20 — with the 20/2**lvl
+        warp scaler, an upsampled F/20 flow displaces features by exactly
+        the true level-l pixel motion F/2**lvl;
+      * the output level: resize(F) / 2**flow_pred_lvl — the final x4
+        upsample multiplies magnitudes by 2**flow_pred_lvl, so this target
+        makes the full-resolution output equal F in reader pixels."""
+    epe = jnp.mean(jnp.linalg.norm(flow_pred - flow_gt, axis=-1))
+    aux = 0.0
+    for i, flow_l in enumerate(flow_pyr):
+        size = (flow_l.shape[1], flow_l.shape[2])
+        scale = (2.0**flow_pred_lvl if i == len(flow_pyr) - 1 else 20.0)
+        target = resize_bilinear(flow_gt, size) / scale
+        aux = aux + jnp.mean(jnp.linalg.norm(
+            flow_l.astype(jnp.float32) - target, axis=-1))
+    return epe + aux_weight * aux, epe
+
+
+def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
+                 batch_fn=None, learning_rate: Optional[float] = None,
+                 params=None, save_every: int = 1000) -> Tuple[dict, float]:
+    """Train the PWC net on synthetic warped scenes; returns (params, EPE).
+
+    `batch_fn(rng, batch, H, W) -> (img1, img2, flow)` overrides the scene
+    generator (tests use tiny fields); EPE returned is the final-step
+    training EPE in reader pixels. With config.checkpoint_dir set, bare
+    pwc-scope checkpoints are written, consumable by train.py --flow_ckpt
+    (train/driver._restore_scope)."""
+    obj = AdversarialObjective(config)
+    lr = learning_rate if learning_rate is not None else config.learning_rate
+    optimizer = optax.adam(lr, b1=config.beta1, eps=config.adam_epsilon)
+    h, w = config.reader_height, config.reader_width
+
+    rng = jax.random.PRNGKey(config.seed)
+    if params is None:
+        img_r = jnp.zeros((1, h, w, 3), jnp.float32)
+        params = obj.pwc.init(rng, img_r, img_r)["params"]
+    opt_state = optimizer.init(params)
+
+    def step(params, opt_state, img1, img2, flow_gt):
+        def loss_fn(p):
+            flow_pred, flow_pyr = obj.pwc.apply(
+                {"params": p}, img1, img2, return_pyramid=True)
+            loss, epe = multiscale_epe(flow_pred, flow_pyr, flow_gt,
+                                       obj.pwc.flow_pred_lvl)
+            return loss, epe
+
+        (loss, epe), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, epe
+
+    step = jax.jit(step, donate_argnums=(0, 1))
+    make = batch_fn or synthetic_flow_batch
+    nprng = np.random.RandomState(config.seed)
+    epe = float("nan")
+    for i in range(1, steps + 1):
+        img1, img2, flow = make(nprng, config.batch_size, h, w)
+        params, opt_state, loss, epe = step(params, opt_state, img1, img2, flow)
+        if verbose and (i % 50 == 0 or i == 1):
+            print(f"pwc-pretrain {i:6d}  loss {float(loss):.4f}  "
+                  f"EPE {float(epe):.4f} px", flush=True)
+        if config.checkpoint_dir and i % save_every == 0:
+            from . import checkpoint as ckpt
+
+            ckpt.save_checkpoint(config.checkpoint_dir, f"pwc-{i}", params)
+    if config.checkpoint_dir:
+        from . import checkpoint as ckpt
+
+        ckpt.save_checkpoint(config.checkpoint_dir, "pwc-final", params)
+    return params, float(epe)
