@@ -1,0 +1,239 @@
+#!/usr/bin/env python3
+"""In-regime adversarial-convergence experiment (VERDICT round-2 item 4).
+
+tools/exp_convergence_synth.py showed the two-player game lifting IoU to
+0.25-0.46 then settling into half-coverage masks at 64x128 with a 200-step
+recover warm start. This version moves the toy INTO the reference's regime
+and runs on the real TPU chip:
+
+  * working resolution 192x384 (the reference's, common_flags.py:6-7) —
+    flag-selectable down to 96x192 for quick runs;
+  * recover channel multiplier f as a flag (0.25 = reference nets.py:49;
+    1.0 = capacity-ablation arm);
+  * batch 16, Adam 1e-4, shared-step TF1 Adam, clip/noise, 1:3 alternation
+    (adversarial_learner.py:206-240,367-389) — the exact reference recipe;
+  * thousands of cycles (the reference trains 12,500);
+  * longer recover warm start (box inpainting, the FlyingChairs protocol).
+
+Scene generator: textured background under a smooth random affine flow
+(extrapolatable from context, like camera motion) and a textured square
+carrying an independent affine flow. The contextual-information-separation
+optimum is exactly the square. Flow is in reader-pixel units scaled to the
+magnitudes the /80 normalizer expects (adversarial_learner.py:95-97).
+
+Usage:
+  python tools/exp_convergence_v2.py [cycles] [batch] [pretrain] [f] [H] [W]
+Prints IoU of the disambiguated mask vs the square every 25 cycles and a
+final verdict line; exits 0 regardless (it is an experiment, not a test).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+if os.environ.get("EXP_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from unsupervised_detection_tpu.config import Config
+from unsupervised_detection_tpu.models import GeneratorNet, RecoverNet
+from unsupervised_detection_tpu.ops.losses import charbonnier_loss
+from unsupervised_detection_tpu.ops.metrics import compute_all_iou
+from unsupervised_detection_tpu.train.learner import TrainState, _clip_or_noise
+from unsupervised_detection_tpu.train.objective import AdversarialObjective
+from unsupervised_detection_tpu.train.optim import adam_apply, adam_init
+from unsupervised_detection_tpu.train.pretrain import random_box_masks
+from unsupervised_detection_tpu.utils import enable_compilation_cache
+
+
+def make_batch_fn(batch: int, H: int, W: int, square: int):
+    """Jitted ON-DEVICE scene generator (host generation is tunnel-transfer
+    bound at ~40 MB/batch on this remote-TPU host — measured 8 s/step).
+
+    Textured scenes: smooth multi-scale background texture, a distinctly
+    textured square at a random position, affine background flow + an
+    independent affine square flow (magnitudes in reader-pixel units,
+    ~[-20, 20] px like DAVIS motion)."""
+
+    def texture(key, scale, amp):
+        base = jax.random.uniform(key, (batch, H // scale, W // scale, 3))
+        up = jax.image.resize(base, (batch, H, W, 3), "linear")
+        return amp * (up - 0.5)
+
+    def make(key):
+        ks = jax.random.split(key, 8)
+        img_bg = texture(ks[0], 8, 0.6) + texture(ks[1], 2, 0.25)
+        sq_tex = texture(ks[2], 4, 0.7) + jax.random.uniform(
+            ks[3], (batch, 1, 1, 1), minval=-0.2, maxval=0.2)
+
+        y0 = jax.random.randint(ks[4], (batch, 1, 1), 0, H - square)
+        x0 = jax.random.randint(ks[5], (batch, 1, 1), 0, W - square)
+        yy = jax.lax.broadcasted_iota(jnp.int32, (batch, H, W), 1)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (batch, H, W), 2)
+        inside = ((yy >= y0) & (yy < y0 + square)
+                  & (xx >= x0) & (xx < x0 + square))
+        gt = inside.astype(jnp.float32)[..., None]
+
+        img = jnp.clip(jnp.where(gt > 0, sq_tex, img_bg), -0.5, 0.5)
+
+        # Affine fields a + b*x + c*y per (sample, channel): background coefs
+        # in +-(12,16,16), square coefs in +-(20,16,16).
+        yn = (yy.astype(jnp.float32) - H / 2) / H
+        xn = (xx.astype(jnp.float32) - W / 2) / W
+        def affine(key, amp_a):
+            co = jax.random.uniform(key, (batch, 2, 3), minval=-1.0, maxval=1.0)
+            co = co * jnp.asarray([amp_a, 16.0, 16.0])
+            return (co[:, None, None, :, 0]
+                    + co[:, None, None, :, 1] * xn[..., None]
+                    + co[:, None, None, :, 2] * yn[..., None])
+
+        flow_bg = affine(ks[6], 12.0)
+        flow_sq = affine(ks[7], 20.0)
+        flow = jnp.where(gt > 0, flow_sq, flow_bg)
+        return img, flow / 80.0, gt
+
+    return jax.jit(make)
+
+
+def main():
+    cycles = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    pretrain_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+    f = float(sys.argv[4]) if len(sys.argv) > 4 else 0.25
+    H = int(sys.argv[5]) if len(sys.argv) > 5 else 192
+    W = int(sys.argv[6]) if len(sys.argv) > 6 else 384
+    square = max(16, H // 4)
+    enable_compilation_cache()
+    print(f"config: cycles={cycles} batch={batch} pretrain={pretrain_steps} "
+          f"f={f} res={H}x{W} square={square} "
+          f"platform={jax.devices()[0].platform}", flush=True)
+
+    cfg = Config(img_height=H, img_width=W, batch_size=batch,
+                 compute_dtype="float32", allow_random_flow=True)
+    obj = AdversarialObjective(cfg)
+    obj.recover = RecoverNet(f=f, dtype=obj.dtype)
+    hparams = (cfg.learning_rate, cfg.beta1, 0.999, cfg.adam_epsilon)
+
+    rng = jax.random.PRNGKey(8964)
+    r_gen, r_rec, r_state = jax.random.split(rng, 3)
+    img_w = jnp.zeros((1, H, W, 3), jnp.float32)
+    flow_w = jnp.zeros((1, H, W, 2), jnp.float32)
+    mask_w = jnp.zeros((1, H, W, 1), jnp.float32)
+    gen_vars = obj.generator.init(r_gen, img_w, flow_w)
+    rec_vars = obj.recover.init(r_rec, img_w, flow_w, mask_w)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), rng=r_state,
+        gen_params=gen_vars["params"], gen_stats=gen_vars["batch_stats"],
+        rec_params=rec_vars["params"], pwc_params={},
+        gen_opt=adam_init(gen_vars["params"]),
+        rec_opt=adam_init(rec_vars["params"]),
+    )
+
+    def gen_step(state, image, flow):
+        rng, r_noise = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            out = obj.losses_from_flow(p, state.gen_stats, state.rec_params,
+                                       image, flow)
+            return out.losses["generator"], out.losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.gen_params)
+        grads = _clip_or_noise(r_noise, grads, cfg.gradient_clip,
+                               cfg.grad_noise_threshold, True)
+        p, o = adam_apply(grads, state.gen_opt, state.gen_params,
+                          state.shared_adam_t, *hparams)
+        return state.replace(rng=rng, gen_params=p, gen_opt=o), losses
+
+    def rec_step(state, image, flow):
+        rng, r_noise = jax.random.split(state.rng)
+
+        def loss_fn(p):
+            out = obj.losses_from_flow(state.gen_params, state.gen_stats, p,
+                                       image, flow)
+            return out.losses["recover"], out.losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.rec_params)
+        grads = _clip_or_noise(r_noise, grads, cfg.gradient_clip,
+                               cfg.grad_noise_threshold, False)
+        p, o = adam_apply(grads, state.rec_opt, state.rec_params,
+                          state.shared_adam_t, *hparams)
+        return state.replace(rng=rng, rec_params=p, rec_opt=o), losses
+
+    def val_fn(state, image, flow, gt):
+        mask = obj.generate_mask(state.gen_params, state.gen_stats, image, flow)
+        return (compute_all_iou(pred_masks=mask, gt_masks=gt),
+                jnp.mean(mask))
+
+    def pre_step(state, image, flow, r_mask):
+        rng, _ = jax.random.split(state.rng)
+        mask = random_box_masks(r_mask, image.shape[0], H, W)
+
+        def loss_fn(p):
+            pred = obj.recover.apply({"params": p}, image, flow * (1 - mask), mask)
+            tot = charbonnier_loss(flow, pred, jnp.ones_like(flow), cfg.cbn)
+            return jnp.sum(tot) / (H * W * image.shape[0])
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.rec_params)
+        grads = jax.tree.map(
+            lambda g: jnp.clip(g, -cfg.gradient_clip, cfg.gradient_clip), grads)
+        p, o = adam_apply(grads, state.rec_opt, state.rec_params,
+                          state.rec_opt.count + 1, *hparams)
+        return state.replace(rng=rng, rec_params=p, rec_opt=o), loss
+
+    gen_step = jax.jit(gen_step, donate_argnums=(0,))
+    rec_step = jax.jit(rec_step, donate_argnums=(0,))
+    pre_step = jax.jit(pre_step, donate_argnums=(0,))
+    val_fn = jax.jit(val_fn)
+
+    make = make_batch_fn(batch, H, W, square)
+    data_key = jax.random.PRNGKey(1234)
+    prng = jax.random.PRNGKey(7)
+    t0 = time.time()
+    for i in range(1, pretrain_steps + 1):
+        data_key, k = jax.random.split(data_key)
+        img, flow, _ = make(k)
+        prng, r_mask = jax.random.split(prng)
+        state, ploss = pre_step(state, img, flow, r_mask)
+        if i % 100 == 0:
+            print(f"pretrain {i:5d}  inpaint loss {float(ploss):.4f}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    state = state.replace(rec_opt=adam_init(state.rec_params))
+
+    val_make = make if batch == 16 else make_batch_fn(16, H, W, square)
+    val_img, val_flow, val_gt = val_make(jax.random.PRNGKey(999))
+    sub = 0
+    cyc = cfg.iters_rec + cfg.iters_gen
+    best, hist = 0.0, []
+    for cycle in range(1, cycles + 1):
+        for _ in range(cyc):
+            data_key, k = jax.random.split(data_key)
+            img, flow, _ = make(k)
+            step = rec_step if (sub % cyc) < cfg.iters_rec else gen_step
+            state, losses = step(state, img, flow)
+            sub += 1
+        if cycle % 25 == 0 or cycle == 1:
+            ious, mcov = val_fn(state, val_img, val_flow, val_gt)
+            iou = float(jnp.mean(ious))
+            best = max(best, iou)
+            hist.append((cycle, iou))
+            print(f"cycle {cycle:5d}  IoU {iou:.3f}  "
+                  f"mask-cover {float(mcov):.2f}  "
+                  f"gen {float(losses['generator']):+.4f}  "
+                  f"rec {float(losses['recover']):.4f}  "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+    tail = [i for _, i in hist[-8:]]
+    print(f"final: best IoU {best:.3f}; last-8 mean {np.mean(tail):.3f}; "
+          f"{'CONVERGED (sustained IoU > 0.5)' if np.mean(tail) > 0.5 else 'did not lock on'}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
