@@ -76,3 +76,32 @@ def test_pretrain_pwc_reduces_epe(tmp_path):
     a = jax.tree.leaves(restored)[0]
     b = jax.tree.leaves(params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_flow_ckpt_feeds_train_driver(tmp_path):
+    """pretrain_flow's pwc-scope checkpoint loads through train.py's
+    --flow_ckpt scope-restore path (driver._restore_scope; the reference's
+    mandatory pwcnet-scope restore, adversarial_learner.py:339-343). Conv
+    params are resolution-independent, so a ckpt trained at one reader size
+    restores into any train config."""
+    from synthetic import make_moving_square_davis
+    from unsupervised_detection_tpu.train import AdversarialLearner
+    from unsupervised_detection_tpu.train.driver import _restore_scope
+
+    cfg = Config(batch_size=4, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0,
+                 checkpoint_dir=str(tmp_path / "pwc_ckpt"))
+    import os
+
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    params, _ = pretrain_pwc(cfg, steps=1, verbose=False, save_every=1)
+    path = os.path.join(cfg.checkpoint_dir, "pwc-final")
+
+    train_cfg = Config(batch_size=8, reader_height=64, reader_width=128,
+                       img_height=32, img_width=64, flow_ckpt=path)
+    learner = AdversarialLearner(train_cfg)
+    state = learner.init_state(jax.random.PRNGKey(1))
+    state = _restore_scope(path, state, "pwc")
+    got = jax.tree.leaves(state.pwc_params)[0]
+    want = jax.tree.leaves(params)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
