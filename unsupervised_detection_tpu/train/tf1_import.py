@@ -161,6 +161,11 @@ def restore_tf1_scope(path: str, state, scope: str):
             gen_params=_fill(state.gen_params, gmap, reader),
             gen_stats=_fill(state.gen_stats, gmap, reader),
         )
+    if scope == "full" and "global_step" in names and hasattr(state, "step"):
+        # The reference's full saver includes global_step
+        # (adversarial_learner.py:326); resume semantics need it.
+        state = state.replace(step=jax.numpy.asarray(
+            reader.get_tensor("global_step"), dtype=state.step.dtype))
     return state
 
 
