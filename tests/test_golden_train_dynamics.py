@@ -11,10 +11,11 @@ step 4 recover).
 
 Starting from IDENTICAL transplanted weights and identical fixed
 image/flow tensors (PWC bypassed — it is frozen and golden-tested
-separately), both learners run 2 full cycles (8 sub-steps) and must match:
+separately), both learners run 8 full cycles (32 sub-steps) and must match:
 
   * all 8 reference losses at every sub-step (each evaluated pre-update,
-    like the reference's joint sess.run(loss, train_op));
+    like the reference's joint sess.run(loss, train_op); tolerance grows
+    linearly past cycle 2 — compounding fp32 drift);
   * the post-training parameter deltas of both nets.
 
 This is the strongest accuracy-parity evidence available without DAVIS data:
@@ -39,7 +40,7 @@ pytest.importorskip("tensorflow")
 from reference_oracle import load_reference_models  # noqa: E402
 
 B, H, W = 2, 96, 192
-N_STEPS = 8  # two full 3:1 generator:recover cycles
+N_STEPS = 32  # eight full 3:1 generator:recover cycles
 LOSS_KEYS = [
     "generator", "recover", "red_rate", "red_rate_compl",
     "reconstruction_loss", "reconstruction_compl_loss",
@@ -140,7 +141,7 @@ def _mapped(tree, name_map):
     return out
 
 
-def test_two_cycles_match_reference(monkeypatch):
+def test_eight_cycles_match_reference(monkeypatch):
     ref = load_reference_models()
     tf1 = ref.tf1
 
@@ -207,10 +208,15 @@ def test_two_cycles_match_reference(monkeypatch):
         jax_steps.append({k: float(v) for k, v in losses.items()})
 
     # --- losses match at every sub-step --------------------------------------
+    # Tolerance grows with step count: the two-player dynamics compound fp32
+    # rounding (every step feeds the next through both nets' updated params),
+    # so identical-math implementations still drift ~linearly in steps. The
+    # first two cycles keep the strict round-2 bound; later cycles scale it.
     for i, (tfl, jl) in enumerate(zip(tf_steps, jax_steps), start=1):
+        growth = max(1.0, i / 8.0)
         for key in LOSS_KEYS:
             np.testing.assert_allclose(
-                jl[key], tfl[key], rtol=2e-3, atol=2e-4,
+                jl[key], tfl[key], rtol=2e-3 * growth, atol=2e-4 * growth,
                 err_msg=f"loss '{key}' diverged at sub-step {i}")
 
     # --- parameter deltas match ----------------------------------------------
@@ -226,7 +232,7 @@ def test_two_cycles_match_reference(monkeypatch):
             jax_delta = jax_final - values[name]
             tf_delta = tf_final_v - values[name]
             # Adam makes deltas O(lr) regardless of grad scale, so compare
-            # absolutely: 8 steps x lr_t <= 8 * 1e-4. Elements whose grads
+            # absolutely: N_STEPS x lr_t <= N_STEPS * 1e-4. Elements whose grads
             # are at numerical noise level may step in opposite directions;
             # bound their mass instead of excluding them.
             diff = np.abs(jax_delta - tf_delta)
