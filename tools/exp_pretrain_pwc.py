@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Pretrain PWC on the convergence experiment's scene distribution, on TPU.
+
+Wraps train/pretrain_pwc.pretrain_pwc with the experiment's ON-DEVICE scene
+generator (tools/exp_convergence_v2.make_batch_fn with_pairs=True): square +
+affine-background pairs — the exact distribution the adversarial-game
+experiment evaluates on, and no host<->device transfers (the remote-TPU
+tunnel makes host-generated batches ~1 s/step).
+
+Usage: python tools/exp_pretrain_pwc.py [steps] [batch] [H] [W] [ckpt_dir]
+"""
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+
+if os.environ.get("EXP_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+from unsupervised_detection_tpu.config import Config
+from unsupervised_detection_tpu.train.pretrain_pwc import pretrain_pwc
+from unsupervised_detection_tpu.utils import enable_compilation_cache
+
+sys.path.insert(0, os.path.join(REPO, "tools"))
+from exp_convergence_v2 import make_batch_fn  # noqa: E402
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    H = int(sys.argv[3]) if len(sys.argv) > 3 else 192
+    W = int(sys.argv[4]) if len(sys.argv) > 4 else 384
+    ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else "/tmp/exp_pwc_ckpt"
+    enable_compilation_cache()
+    os.makedirs(ckpt_dir, exist_ok=True)
+    print(f"pwc-pretrain on device scenes: steps={steps} batch={batch} "
+          f"res={H}x{W} ckpt={ckpt_dir} "
+          f"platform={jax.devices()[0].platform}", flush=True)
+
+    make = make_batch_fn(batch, H, W, square=max(16, H // 4), with_pairs=True)
+    keybox = {"k": jax.random.PRNGKey(5)}
+
+    def device_batches(_rng, _b, _h, _w):
+        keybox["k"], k = jax.random.split(keybox["k"])
+        img1, img2, flow80, _gt = make(k)
+        return img1, img2, flow80 * 80.0  # pretrain targets pixel units
+
+    cfg = Config(batch_size=batch, reader_height=H, reader_width=W,
+                 img_height=H, img_width=W, checkpoint_dir=ckpt_dir, seed=0)
+    _, epe = pretrain_pwc(cfg, steps=steps, batch_fn=device_batches,
+                          save_every=1000)
+    print(f"done: final train EPE {epe:.3f} px; checkpoint at "
+          f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
