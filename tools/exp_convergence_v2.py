@@ -54,7 +54,8 @@ from unsupervised_detection_tpu.train.pretrain import random_box_masks
 from unsupervised_detection_tpu.utils import enable_compilation_cache
 
 
-def make_batch_fn(batch: int, H: int, W: int, square: int):
+def make_batch_fn(batch: int, H: int, W: int, square: int,
+                  with_pairs: bool = False):
     """Jitted ON-DEVICE scene generator (host generation is tunnel-transfer
     bound at ~40 MB/batch on this remote-TPU host — measured 8 s/step).
 
@@ -98,6 +99,13 @@ def make_batch_fn(batch: int, H: int, W: int, square: int):
         flow_bg = affine(ks[6], 12.0)
         flow_sq = affine(ks[7], 20.0)
         flow = jnp.where(gt > 0, flow_sq, flow_bg)
+        if with_pairs:
+            # Second frame by backward warp: I2(p) = I1(p + F(p)) — the
+            # convention PWC recovers F under (train/pretrain_pwc.py).
+            from unsupervised_detection_tpu.ops.warp import dense_image_warp
+
+            img2 = dense_image_warp(img, -flow)
+            return img, img2, flow / 80.0, gt
         return img, flow / 80.0, gt
 
     return jax.jit(make)
@@ -110,14 +118,28 @@ def main():
     f = float(sys.argv[4]) if len(sys.argv) > 4 else 0.25
     H = int(sys.argv[5]) if len(sys.argv) > 5 else 192
     W = int(sys.argv[6]) if len(sys.argv) > 6 else 384
+    # Optional 7th arg: pwc-scope checkpoint (from pretrain_flow.py). With
+    # it, the game consumes flow ESTIMATED by the frozen PWC net on warped
+    # frame pairs — the reference's full data path — instead of the
+    # ground-truth synthetic field.
+    pwc_ckpt = sys.argv[7] if len(sys.argv) > 7 else ""
     square = max(16, H // 4)
     enable_compilation_cache()
     print(f"config: cycles={cycles} batch={batch} pretrain={pretrain_steps} "
           f"f={f} res={H}x{W} square={square} "
+          f"flow={'pwc:' + pwc_ckpt if pwc_ckpt else 'ground-truth'} "
           f"platform={jax.devices()[0].platform}", flush=True)
 
+    # In PWC mode the flow net runs at the working resolution directly
+    # (reader == img size; H, W must divide by 2**pyr_lvls — 192x384 does).
+    # search_range must match the checkpoint's: exp_pretrain_pwc.py trains
+    # at 2 (the range-4 backward overruns the remote AOT compile helper;
+    # the cost-volume width changes the first estimator conv's fan-in, so
+    # the two are not interchangeable at restore time).
     cfg = Config(img_height=H, img_width=W, batch_size=batch,
-                 compute_dtype="float32", allow_random_flow=True)
+                 reader_height=H, reader_width=W,
+                 compute_dtype="float32", allow_random_flow=True,
+                 pwc_search_range=2 if pwc_ckpt else 4)
     obj = AdversarialObjective(cfg)
     obj.recover = RecoverNet(f=f, dtype=obj.dtype)
     hparams = (cfg.learning_rate, cfg.beta1, 0.999, cfg.adam_epsilon)
@@ -193,13 +215,40 @@ def main():
     pre_step = jax.jit(pre_step, donate_argnums=(0,))
     val_fn = jax.jit(val_fn)
 
-    make = make_batch_fn(batch, H, W, square)
+    pwc_params = None
+    if pwc_ckpt:
+        from unsupervised_detection_tpu.train import checkpoint as ckpt
+
+        template = jax.jit(obj.pwc.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)))["params"]
+        pwc_params = ckpt.restore_checkpoint(pwc_ckpt, template)
+
+        def flow_fn(img1, img2):
+            flow = obj.compute_flow(pwc_params, img1, img2)
+            return obj.resize_to_working(img1, flow)
+
+        flow_fn = jax.jit(flow_fn)
+
+    make = make_batch_fn(batch, H, W, square, with_pairs=bool(pwc_ckpt))
+    val_make = (make if batch == 16
+                else make_batch_fn(16, H, W, square, with_pairs=bool(pwc_ckpt)))
+
+    def next_batch(key, maker):
+        """(image, flow, gt) — flow either ground truth or PWC-estimated."""
+        if pwc_ckpt:
+            img1, img2, _, gt = maker(key)
+            image, flow = flow_fn(img1, img2)
+            return image, flow, gt
+        img, flow, gt = maker(key)
+        return img, flow, gt
+
     data_key = jax.random.PRNGKey(1234)
     prng = jax.random.PRNGKey(7)
     t0 = time.time()
     for i in range(1, pretrain_steps + 1):
         data_key, k = jax.random.split(data_key)
-        img, flow, _ = make(k)
+        img, flow, _ = next_batch(k, make)
         prng, r_mask = jax.random.split(prng)
         state, ploss = pre_step(state, img, flow, r_mask)
         if i % 100 == 0:
@@ -207,15 +256,14 @@ def main():
                   f"({time.time()-t0:.0f}s)", flush=True)
     state = state.replace(rec_opt=adam_init(state.rec_params))
 
-    val_make = make if batch == 16 else make_batch_fn(16, H, W, square)
-    val_img, val_flow, val_gt = val_make(jax.random.PRNGKey(999))
+    val_img, val_flow, val_gt = next_batch(jax.random.PRNGKey(999), val_make)
     sub = 0
     cyc = cfg.iters_rec + cfg.iters_gen
     best, hist = 0.0, []
     for cycle in range(1, cycles + 1):
         for _ in range(cyc):
             data_key, k = jax.random.split(data_key)
-            img, flow, _ = make(k)
+            img, flow, _ = next_batch(k, make)
             step = rec_step if (sub % cyc) < cfg.iters_rec else gen_step
             state, losses = step(state, img, flow)
             sub += 1

@@ -49,8 +49,13 @@ def main():
         img1, img2, flow80, _gt = make(k)
         return img1, img2, flow80 * 80.0  # pretrain targets pixel units
 
+    # search_range=2 (25 cost-volume shifts instead of 81): the full
+    # backward at range 4 exceeds the remote AOT compile helper's budget
+    # (SIGKILL after ~10 min); the experiment consumes the checkpoint with
+    # the same range, so params stay consistent end to end.
     cfg = Config(batch_size=batch, reader_height=H, reader_width=W,
-                 img_height=H, img_width=W, checkpoint_dir=ckpt_dir, seed=0)
+                 img_height=H, img_width=W, checkpoint_dir=ckpt_dir, seed=0,
+                 pwc_search_range=2)
     _, epe = pretrain_pwc(cfg, steps=steps, batch_fn=device_batches,
                           save_every=1000)
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "

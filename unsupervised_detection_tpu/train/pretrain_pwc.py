@@ -119,7 +119,9 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
     rng = jax.random.PRNGKey(config.seed)
     if params is None:
         img_r = jnp.zeros((1, h, w, 3), jnp.float32)
-        params = obj.pwc.init(rng, img_r, img_r)["params"]
+        # jit the init: eager flax init dispatches op-by-op, which is
+        # minutes of round-trips on a remote-tunneled TPU backend.
+        params = jax.jit(obj.pwc.init)(rng, img_r, img_r)["params"]
     opt_state = optimizer.init(params)
 
     def step(params, opt_state, img1, img2, flow_gt):
