@@ -68,8 +68,10 @@ def main():
     img_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 3), jnp.float32)
     flow_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 2), jnp.float32)
     img_r = jnp.zeros((1, cfg.reader_height, cfg.reader_width, 3), jnp.float32)
-    gen_vars = obj.generator.init(r_gen, img_w, flow_w)
-    pwc_vars = obj.pwc.init(r_pwc, img_r, img_r)
+    # jit the inits: eager flax init dispatches op-by-op — ~6 min of
+    # round-trips for the PWC net through the remote-TPU tunnel.
+    gen_vars = jax.jit(obj.generator.init)(r_gen, img_w, flow_w)
+    pwc_vars = jax.jit(obj.pwc.init)(r_pwc, img_r, img_r)
 
     @jax.jit
     def forward(gen_params, gen_stats, pwc_params, img1, img2):
