@@ -257,6 +257,15 @@ def main():
     state = state.replace(rec_opt=adam_init(state.rec_params))
 
     val_img, val_flow, val_gt = next_batch(jax.random.PRNGKey(999), val_make)
+    if pwc_ckpt:
+        # Diagnostic: how good is the frozen flow the game consumes? EPE of
+        # the PWC estimate vs the synthetic ground truth on the val batch
+        # (both in reader-pixel units; val_flow is /flow_normalizer).
+        _, _, gt80, _ = val_make(jax.random.PRNGKey(999))
+        epe = float(jnp.mean(jnp.linalg.norm(
+            (val_flow - gt80) * cfg.flow_normalizer, axis=-1)))
+        print(f"frozen-PWC flow quality on val batch: EPE {epe:.2f} px",
+              flush=True)
     sub = 0
     cyc = cfg.iters_rec + cfg.iters_gen
     best, hist = 0.0, []

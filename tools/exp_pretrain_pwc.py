@@ -7,7 +7,12 @@ affine-background pairs — the exact distribution the adversarial-game
 experiment evaluates on, and no host<->device transfers (the remote-TPU
 tunnel makes host-generated batches ~1 s/step).
 
-Usage: python tools/exp_pretrain_pwc.py [steps] [batch] [H] [W] [ckpt_dir]
+Usage: python tools/exp_pretrain_pwc.py [steps] [batch] [H] [W] [ckpt_dir] [resume_ckpt]
+
+With resume_ckpt (a pwc-scope checkpoint file), training continues from
+those params instead of a fresh init — used to extend the pretrain in
+stages between experiment arms (optimizer moments restart; at a flat lr
+with Adam this costs a brief re-warmup only).
 """
 
 import os
@@ -35,6 +40,7 @@ def main():
     H = int(sys.argv[3]) if len(sys.argv) > 3 else 192
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 384
     ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else "/tmp/exp_pwc_ckpt"
+    resume = sys.argv[6] if len(sys.argv) > 6 else ""
     enable_compilation_cache()
     os.makedirs(ckpt_dir, exist_ok=True)
     print(f"pwc-pretrain on device scenes: steps={steps} batch={batch} "
@@ -56,8 +62,21 @@ def main():
     cfg = Config(batch_size=batch, reader_height=H, reader_width=W,
                  img_height=H, img_width=W, checkpoint_dir=ckpt_dir, seed=0,
                  pwc_search_range=2)
+    params = None
+    if resume:
+        import jax.numpy as jnp
+
+        from unsupervised_detection_tpu.models import PWCNet
+        from unsupervised_detection_tpu.train import checkpoint as ckpt
+
+        pwc = PWCNet(search_range=2)
+        template = jax.jit(pwc.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)))["params"]
+        params = ckpt.restore_checkpoint(resume, template)
+        print(f"resumed params from {resume}", flush=True)
     _, epe = pretrain_pwc(cfg, steps=steps, batch_fn=device_batches,
-                          save_every=1000)
+                          save_every=1000, params=params)
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "
           f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
 
