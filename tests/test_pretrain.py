@@ -31,7 +31,7 @@ def test_pretrain_steps_reduce_loss(tmp_path):
     cfg = Config(
         root_dir=root, checkpoint_dir=str(tmp_path / "ck"),
         img_height=32, img_width=64, reader_height=64, reader_width=128,
-        batch_size=8, num_threads=2,
+        batch_size=8, num_threads=2, allow_random_flow=True,
     )
     params = pretrain_recover(cfg, steps=3, verbose=False, save_every=2)
     assert params is not None
@@ -39,3 +39,40 @@ def test_pretrain_steps_reduce_loss(tmp_path):
 
     entries = os.listdir(cfg.checkpoint_dir)
     assert any(e.startswith("recover-") for e in entries), entries
+
+
+def test_pretrain_requires_flow_ckpt_or_optout(tmp_path):
+    """Same contract as train.py (adversarial_learner.py:339-343): without a
+    flow checkpoint the inpainting targets are garbage, so the stage aborts
+    unless --allow_random_flow opts out explicitly."""
+    root = make_moving_square_davis(str(tmp_path / "davis"), frames=8, hw=(128, 192))
+    cfg = Config(root_dir=root, img_height=32, img_width=64,
+                 reader_height=64, reader_width=128, batch_size=8)
+    with pytest.raises(SystemExit, match="allow_random_flow"):
+        pretrain_recover(cfg, steps=1, verbose=False)
+
+
+def test_pretrain_consumes_pretrain_flow_ckpt(tmp_path):
+    """--flow_ckpt accepts a native pwc-scope checkpoint from
+    pretrain_flow.py, not only TF1 ones — the from-scratch bootstrap chain
+    pretrain_flow -> pretrain_recover -> train needs no external assets."""
+    from unsupervised_detection_tpu.train import checkpoint as ckpt
+    from unsupervised_detection_tpu.train.objective import AdversarialObjective
+
+    pwc_dir = tmp_path / "pwc_ck"
+    pwc_dir.mkdir()
+    pcfg = Config(batch_size=2, reader_height=64, reader_width=128,
+                  img_height=32, img_width=64, seed=3)
+    obj = AdversarialObjective(pcfg)
+    pwc_params = obj.pwc.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, 64, 128, 3)), jnp.zeros((1, 64, 128, 3)))["params"]
+    path = ckpt.save_checkpoint(str(pwc_dir), "pwc-final", pwc_params)
+
+    root = make_moving_square_davis(str(tmp_path / "davis"), frames=8, hw=(128, 192))
+    cfg = Config(root_dir=root, checkpoint_dir=str(tmp_path / "ck"),
+                 img_height=32, img_width=64, reader_height=64,
+                 reader_width=128, batch_size=8, num_threads=2,
+                 flow_ckpt=path)
+    params = pretrain_recover(cfg, steps=2, verbose=False, save_every=2)
+    assert params is not None

@@ -63,6 +63,13 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
     img_r = jnp.zeros((1, config.reader_height, config.reader_width, 3))
     rec_params = obj.recover.init(r_rec, img_w, flow_w, mask_w)["params"]
     pwc_params = obj.pwc.init(r_pwc, img_r, img_r)["params"]
+    if not config.flow_ckpt and not config.allow_random_flow:
+        # Same contract as train/driver.py:44-50: inpainting targets from a
+        # random flow net are garbage; demand an explicit opt-out.
+        raise SystemExit(
+            "pretrain_recover needs --flow_ckpt (TF1 or pretrain_flow.py "
+            "checkpoint). Pass --allow_random_flow to pretrain against a "
+            "randomly initialized flow net (tests/synthetic runs only).")
     if config.flow_ckpt:
         from . import tf1_import
 
@@ -70,6 +77,12 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
             reader = tf1_import._load_reader(config.flow_ckpt)
             pwc_params = tf1_import._fill(
                 pwc_params, tf1_import.pwc_name_map(pwc_params), reader)
+        else:
+            # pwc-scope checkpoint from pretrain_flow.py (or a full-state
+            # save), same dual-format contract as train/driver._restore_scope.
+            from . import checkpoint as _ckpt
+
+            pwc_params = _ckpt.restore_checkpoint(config.flow_ckpt, pwc_params)
 
     opt_state = optimizer.init(rec_params)
 
