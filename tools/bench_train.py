@@ -58,6 +58,28 @@ def main():
     total_cycles = 40 * 313
     print("full reference schedule estimate: %.1f minutes" % (total_cycles * dt / 60))
 
+    # FLOP accounting from the compiled programs themselves: one cycle is
+    # 1 recover + 3 generator sub-steps (MFU vs the 68 TFLOP/s chained-
+    # matmul ceiling measured on this chip and vs v5e bf16 peak).
+    try:
+        costs = {}
+        for name, fn in (("rec", learner.recover_step),
+                         ("gen", learner.generator_step)):
+            c = fn.lower(state, img1, img2).compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            costs[name] = float(c["flops"])
+        cycle_flops = (cfg.iters_rec * costs["rec"]
+                       + cfg.iters_gen * costs["gen"])
+        tflops = cycle_flops / dt / 1e12
+        print("cycle FLOPs: %.2f T (rec %.2f + 3 x gen %.2f) -> "
+              "%.1f TFLOP/s; MFU %.3f vs 68 TFLOP/s measured ceiling, "
+              "%.3f vs 197 TFLOP/s v5e bf16 peak"
+              % (cycle_flops / 1e12, costs["rec"] / 1e12, costs["gen"] / 1e12,
+                 tflops, tflops / 68.0, tflops / 197.0))
+    except Exception as e:  # cost_analysis availability varies by backend
+        print("FLOP accounting unavailable: %r" % (e,))
+
 
 if __name__ == "__main__":
     main()
