@@ -24,9 +24,14 @@ def main(argv):
     parser.add_argument("--path_img", default="./DAVIS/JPEGImages/480p")
     parser.add_argument("--path_gt", default="./DAVIS/Annotations/480p")
     parser.add_argument("--flow_backend", default="auto",
-                        choices=["auto", "pyflow", "farneback"],
+                        choices=["auto", "pyflow", "farneback", "pwc"],
                         help="flow used for mask propagation; auto prefers "
-                             "the native pyflow module when built")
+                             "the native pyflow module when built; pwc runs "
+                             "the framework's own flow net on device "
+                             "(requires --flow_ckpt)")
+    parser.add_argument("--flow_ckpt", default="",
+                        help="PWC checkpoint (TF1 or pretrain_flow.py) for "
+                             "--flow_backend=pwc")
     parser.add_argument("--sxy", type=float, default=25.0)
     parser.add_argument("--srgb", type=float, default=5.0)
     parser.add_argument("--scomp", type=float, default=5.0)
@@ -46,7 +51,16 @@ def main(argv):
             flow_backend = "pyflow"
         except Exception:
             flow_backend = "farneback"
-    print("Propagation flow backend: {}".format(flow_backend))
+    elif flow_backend == "pwc":
+        if not args.flow_ckpt:
+            raise SystemExit("--flow_backend=pwc requires --flow_ckpt")
+        from unsupervised_detection_tpu.postproc.propagate import pwc_flow_fn
+        from unsupervised_detection_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        flow_backend = pwc_flow_fn(args.flow_ckpt)
+    print("Propagation flow backend: {}".format(
+        args.flow_backend if callable(flow_backend) else flow_backend))
 
     seq_names = seq_num = None
     if args.discover_sequences:

@@ -150,3 +150,41 @@ def test_native_crf_matches_numpy_engine():
     assert np.abs(q_cc - q_np).max() < 5e-2
     agree = (np.argmax(q_cc, 0) == np.argmax(q_np, 0)).mean()
     assert agree > 0.99, agree
+
+
+def test_pwc_flow_backend_contract(tmp_path):
+    """The on-device PWC propagation backend (post_processing.py
+    --flow_backend=pwc): consumes a pretrain_flow.py checkpoint, honors the
+    flow_fn contract (u, v on im_a's grid into im_b), reflect-pads frames
+    whose size is not a multiple of 2**pyr_lvls, and drives
+    propagate_masks end to end."""
+    import jax
+
+    from unsupervised_detection_tpu.config import Config
+    from unsupervised_detection_tpu.postproc.propagate import pwc_flow_fn
+    from unsupervised_detection_tpu.train import checkpoint as ckpt
+    from unsupervised_detection_tpu.train.pretrain_pwc import pretrain_pwc
+
+    ck_dir = str(tmp_path / "pwc")
+    import os
+
+    os.makedirs(ck_dir)
+    cfg = Config(batch_size=2, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0, checkpoint_dir=ck_dir)
+    pretrain_pwc(cfg, steps=1, verbose=False, save_every=1)
+    path = os.path.join(ck_dir, "pwc-final")
+    assert ckpt.checkpoint_exists(path)
+
+    flow_fn = pwc_flow_fn(path)
+    rng = np.random.RandomState(0)
+    # 48x80 is NOT divisible by 64 -> exercises the pad+crop path.
+    frames = [rng.rand(48, 80, 3) for _ in range(3)]
+    u, v = flow_fn(frames[0], frames[1])
+    assert u.shape == (48, 80) and v.shape == (48, 80)
+    assert np.isfinite(u).all() and np.isfinite(v).all()
+
+    masks = [np.zeros((48, 80)) for _ in range(3)]
+    for m in masks:
+        m[10:20, 20:40] = 1.0
+    avgs = propagate_masks(masks, frames, flow_fn=flow_fn)
+    assert len(avgs) == 3 and all(np.isfinite(a).all() for a in avgs)

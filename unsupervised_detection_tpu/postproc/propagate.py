@@ -69,6 +69,66 @@ def get_flow_fn(name_or_fn):
     raise ValueError(f"Unknown flow backend {name_or_fn!r}")
 
 
+def pwc_flow_fn(ckpt_path: str, search_range: int = 4):
+    """On-device flow backend: the framework's own PWC net as a propagation
+    flow source (the role pyflow.so plays in the reference — frame-to-frame
+    dense correspondence; SURVEY.md C20 "reuse the framework's PWCNet flow
+    on-device for the propagation step").
+
+    Returns a closure with this module's flow_fn contract: (u, v) on
+    im_a's grid pointing into im_b. PWC(I1, I2) reports F with
+    I2(p) = I1(p + F(p)) (train/pretrain_pwc.py data construction), so
+    F = PWC(im_b, im_a) lives on im_a's grid and points into im_b —
+    exactly the contract; u = F[..., 1], v = F[..., 0]. Frames are
+    reflect-padded to the net's 2**pyr_lvls divisibility and the flow
+    cropped back. Accepts TF1 or native pwc-scope checkpoints."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models import PWCNet
+
+    pwc = PWCNet(search_range=search_range)
+
+    @functools.lru_cache(maxsize=4)
+    def compiled(h: int, w: int):
+        mult = 2**pwc.pyr_lvls
+        ph = (mult - h % mult) % mult
+        pw = (mult - w % mult) % mult
+        template = jax.jit(pwc.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, h + ph, w + pw, 3)),
+            jnp.zeros((1, h + ph, w + pw, 3)))["params"]
+        from ..train import checkpoint as ckpt
+        from ..train import tf1_import
+
+        if tf1_import.is_tf_checkpoint(ckpt_path):
+            reader = tf1_import._load_reader(ckpt_path)
+            params = tf1_import._fill(
+                template, tf1_import.pwc_name_map(template), reader)
+        else:
+            params = ckpt.restore_checkpoint(ckpt_path, template)
+
+        @jax.jit
+        def run(im_a, im_b):
+            pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+            a = jnp.pad(im_a[None] - 0.5, pad, mode="reflect")
+            b = jnp.pad(im_b[None] - 0.5, pad, mode="reflect")
+            flow = pwc.apply({"params": params}, b, a)
+            return flow[0, :h, :w]
+
+        return run
+
+    def flow_fn(im_a: np.ndarray, im_b: np.ndarray):
+        h, w = im_a.shape[:2]
+        f = np.asarray(compiled(h, w)(
+            jnp.asarray(im_a, jnp.float32), jnp.asarray(im_b, jnp.float32)))
+        return f[..., 1].astype(np.float64), f[..., 0].astype(np.float64)
+
+    return flow_fn
+
+
 def warp_with_flow(mask: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
     """cv2.remap-equivalent bilinear warp: out(x, y) = mask(x+u, y+v),
     zero outside (cv2 BORDER_CONSTANT default)."""
