@@ -188,3 +188,38 @@ def test_pwc_flow_backend_contract(tmp_path):
         m[10:20, 20:40] = 1.0
     avgs = propagate_masks(masks, frames, flow_fn=flow_fn)
     assert len(avgs) == 3 and all(np.isfinite(a).all() for a in avgs)
+
+
+def test_scan_propagate_matches_host_loop():
+    """The on-device lax.scan propagation equals the host cv2 loop given
+    identical flows (the documented deviation is border handling only:
+    clamp vs zero-fill — zero flow at the borders removes it)."""
+    import jax.numpy as jnp
+
+    from unsupervised_detection_tpu.postproc.propagate import (
+        _ema_step,
+        scan_propagate,
+    )
+
+    rng = np.random.RandomState(7)
+    T, H, W = 4, 24, 32
+    masks = rng.rand(T, H, W).astype(np.float32)
+    flows = np.zeros((T - 1, H, W, 2), np.float32)
+    # smooth interior-only flow, zero on a 4px frame border
+    flows[..., 0] = 1.5
+    flows[..., 1] = -0.75
+    flows[:, :4] = flows[:, -4:] = 0.0
+    flows[:, :, :4] = flows[:, :, -4:] = 0.0
+
+    got = np.asarray(scan_propagate(jnp.asarray(masks), jnp.asarray(flows)))
+
+    # host reference: same EMA recurrence with cv2.remap warps
+    running = masks[0].astype(np.float64)
+    want = [running]
+    for t in range(1, T):
+        u = flows[t - 1, ..., 0].astype(np.float64)
+        v = flows[t - 1, ..., 1].astype(np.float64)
+        running = _ema_step(masks[t - 1].astype(np.float64), running, u, v)
+        want.append(running)
+
+    np.testing.assert_allclose(got, np.stack(want), atol=2e-5)
