@@ -222,8 +222,3 @@ def crop_resize_matrices(in_size: int, out_size: int, scale, offset,
     src = jnp.clip(src, lo, hi)
     k = jnp.arange(in_size, dtype=jnp.float32)
     return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - k[None, :]))
-
-
-def apply_crop_resize(x, wh, ww):
-    """Apply dynamically built crop+resize matrices (see crop_resize_matrices)."""
-    return _apply_separable(x, wh, ww)
