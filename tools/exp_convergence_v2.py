@@ -23,8 +23,15 @@ magnitudes the /80 normalizer expects (adversarial_learner.py:95-97).
 
 Usage:
   python tools/exp_convergence_v2.py [cycles] [batch] [pretrain] [f] [H] [W]
+      [pwc_ckpt] [state_dir]
 Prints IoU of the disambiguated mask vs the square every 25 cycles and a
 final verdict line; exits 0 regardless (it is an experiment, not a test).
+
+With state_dir set, the full TrainState plus loop rng/counters are
+checkpointed every 250 cycles and the run RESUMES from the latest save —
+long runs through the remote-TPU tunnel can die mid-RPC (observed: a
+10k-cycle run froze at cycle 3250 when the tunnel dropped), and the
+deterministic replay otherwise costs the whole prefix again.
 """
 
 import os
@@ -123,6 +130,8 @@ def main():
     # frame pairs — the reference's full data path — instead of the
     # ground-truth synthetic field.
     pwc_ckpt = sys.argv[7] if len(sys.argv) > 7 else ""
+    state_dir = sys.argv[8] if len(sys.argv) > 8 else ""
+    save_every = int(os.environ.get("EXP_SAVE_EVERY", "250"))
     square = max(16, H // 4)
     enable_compilation_cache()
     print(f"config: cycles={cycles} batch={batch} pretrain={pretrain_steps} "
@@ -243,7 +252,24 @@ def main():
         img, flow, gt = maker(key)
         return img, flow, gt
 
+    from unsupervised_detection_tpu.train import checkpoint as ckptmod
+
+    start_cycle, best = 1, 0.0
     data_key = jax.random.PRNGKey(1234)
+    resume_path = None
+    if state_dir:
+        os.makedirs(state_dir, exist_ok=True)
+        resume_path = ckptmod.latest_checkpoint(state_dir)
+    if resume_path:
+        payload = {"state": state, "data_key": data_key,
+                   "cycle": np.int32(0), "best": np.float32(0.0)}
+        payload = ckptmod.restore_checkpoint(resume_path, payload)
+        state, data_key = payload["state"], payload["data_key"]
+        start_cycle = int(payload["cycle"]) + 1
+        best = float(payload["best"])
+        pretrain_steps = 0  # recover warm start is inside the saved state
+        print(f"resumed from {resume_path} at cycle {start_cycle}", flush=True)
+
     prng = jax.random.PRNGKey(7)
     t0 = time.time()
     for i in range(1, pretrain_steps + 1):
@@ -254,7 +280,8 @@ def main():
         if i % 100 == 0:
             print(f"pretrain {i:5d}  inpaint loss {float(ploss):.4f}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
-    state = state.replace(rec_opt=adam_init(state.rec_params))
+    if not resume_path:
+        state = state.replace(rec_opt=adam_init(state.rec_params))
 
     val_img, val_flow, val_gt = next_batch(jax.random.PRNGKey(999), val_make)
     if pwc_ckpt:
@@ -268,8 +295,8 @@ def main():
               flush=True)
     sub = 0
     cyc = cfg.iters_rec + cfg.iters_gen
-    best, hist = 0.0, []
-    for cycle in range(1, cycles + 1):
+    hist = []
+    for cycle in range(start_cycle, cycles + 1):
         for _ in range(cyc):
             data_key, k = jax.random.split(data_key)
             img, flow, _ = next_batch(k, make)
@@ -286,6 +313,12 @@ def main():
                   f"gen {float(losses['generator']):+.4f}  "
                   f"rec {float(losses['recover']):.4f}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
+        if state_dir and cycle % save_every == 0:
+            ckptmod.save_checkpoint(state_dir, f"model-{cycle}", {
+                "state": state, "data_key": data_key,
+                "cycle": np.int32(cycle), "best": np.float32(best)})
+    ious, _ = val_fn(state, val_img, val_flow, val_gt)
+    hist.append((cycles, float(jnp.mean(ious))))
     tail = [i for _, i in hist[-8:]]
     print(f"final: best IoU {best:.3f}; last-8 mean {np.mean(tail):.3f}; "
           f"{'CONVERGED (sustained IoU > 0.5)' if np.mean(tail) > 0.5 else 'did not lock on'}",
