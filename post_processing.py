@@ -32,6 +32,10 @@ def main(argv):
     parser.add_argument("--flow_ckpt", default="",
                         help="PWC checkpoint (TF1 or pretrain_flow.py) for "
                              "--flow_backend=pwc")
+    parser.add_argument("--pwc_search_range", type=int, default=4,
+                        help="cost-volume search range the --flow_ckpt was "
+                             "trained with (pretrain_flow.py's "
+                             "--pwc_search_range; TF1 checkpoints are 4)")
     parser.add_argument("--sxy", type=float, default=25.0)
     parser.add_argument("--srgb", type=float, default=5.0)
     parser.add_argument("--scomp", type=float, default=5.0)
@@ -58,7 +62,8 @@ def main(argv):
         from unsupervised_detection_tpu.utils import enable_compilation_cache
 
         enable_compilation_cache()
-        flow_backend = pwc_flow_fn(args.flow_ckpt)
+        flow_backend = pwc_flow_fn(args.flow_ckpt,
+                                   search_range=args.pwc_search_range)
     print("Propagation flow backend: {}".format(
         args.flow_backend if callable(flow_backend) else flow_backend))
 

@@ -105,3 +105,34 @@ def test_flow_ckpt_feeds_train_driver(tmp_path):
     got = jax.tree.leaves(state.pwc_params)[0]
     want = jax.tree.leaves(params)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_full_state_save_feeds_flow_ckpt_paths(tmp_path):
+    """A FULL TrainState save (train.py's model-<epoch>/model.best) is also
+    accepted everywhere a pwc-scope checkpoint is: both by the train driver's
+    --flow_ckpt restore and by the bare-template path the pretrain stages use
+    (checkpoint.restore_params_scope's raw-restore fallback — regression test
+    for the dual-format contract its docstring promises)."""
+    from unsupervised_detection_tpu.train import AdversarialLearner
+    from unsupervised_detection_tpu.train import checkpoint as ckpt
+    from unsupervised_detection_tpu.train.driver import _restore_scope
+
+    cfg = Config(batch_size=4, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0)
+    learner = AdversarialLearner(cfg)
+    state = learner.init_state(jax.random.PRNGKey(0))
+    path = ckpt.save_checkpoint(str(tmp_path), "model-1", state)
+
+    # Bare template (the pretrain_recover --flow_ckpt path).
+    template = jax.tree.map(jnp.zeros_like, state.pwc_params)
+    restored = ckpt.restore_params_scope(path, template, "pwc_params")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(restored)[0]),
+        np.asarray(jax.tree.leaves(state.pwc_params)[0]))
+
+    # Through the train driver (train.py --flow_ckpt=model.best).
+    state2 = learner.init_state(jax.random.PRNGKey(1))
+    state2 = _restore_scope(path, state2, "pwc")
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state2.pwc_params)[0]),
+        np.asarray(jax.tree.leaves(state.pwc_params)[0]))

@@ -108,7 +108,10 @@ def pwc_flow_fn(ckpt_path: str, search_range: int = 4):
             params = tf1_import._fill(
                 template, tf1_import.pwc_name_map(template), reader)
         else:
-            params = ckpt.restore_checkpoint(ckpt_path, template)
+            # Bare pwc-scope save OR a full TrainState save (train.py's
+            # model.best embeds the PWC weights) — same dual-format contract
+            # as the --flow_ckpt flags of the training CLIs.
+            params = ckpt.restore_params_scope(ckpt_path, template, "pwc_params")
 
         @jax.jit
         def run(im_a, im_b):

@@ -71,6 +71,26 @@ def restore_checkpoint(path: str, template):
     return jax.tree.map(lambda t, r: jax.numpy.asarray(r, dtype=np.asarray(t).dtype), template, restored)
 
 
+def restore_params_scope(path: str, template, attr: str):
+    """Restore one network's parameter subtree shaped like `template` from a
+    checkpoint directory that may hold either a bare scope save (e.g.
+    pretrain_flow.py's pwc-scope saves) or a full TrainState save (train.py's
+    model-<epoch>/model.best, whose field `attr` holds the subtree). This is
+    the native half of the dual-format contract in train/driver._restore_scope;
+    callers without a TrainState (pretrain stages, tools) use it directly."""
+    try:
+        return restore_checkpoint(path, template)
+    except Exception:
+        # Full-state save: restore the raw tree (no template — Orbax returns
+        # nested dicts keyed by the TrainState's field names) and extract.
+        raw = _checkpointer().restore(os.path.abspath(path))
+        if not isinstance(raw, dict) or attr not in raw:
+            raise
+        return jax.tree.map(
+            lambda t, r: jax.numpy.asarray(r, dtype=np.asarray(t).dtype),
+            template, raw[attr])
+
+
 def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     """Most recent `model-<epoch>` save (reference resume logic,
     adversarial_learner.py:345-353)."""

@@ -226,9 +226,4 @@ def _restore_scope(path: str, state, scope: str):
         return tf1_import.restore_tf1_scope(path, state, scope)
     attr = {"pwc": "pwc_params", "recover": "rec_params", "gen": "gen_params"}[scope]
     template = getattr(state, attr)
-    try:
-        restored = ckpt.restore_checkpoint(path, template)
-        return state.replace(**{attr: restored})
-    except Exception:
-        full = ckpt.restore_checkpoint(path, state)
-        return state.replace(**{attr: getattr(full, attr)})
+    return state.replace(**{attr: ckpt.restore_params_scope(path, template, attr)})

@@ -78,11 +78,13 @@ def pretrain_recover(config: Config, steps: int, verbose: bool = True,
             pwc_params = tf1_import._fill(
                 pwc_params, tf1_import.pwc_name_map(pwc_params), reader)
         else:
-            # pwc-scope checkpoint from pretrain_flow.py (or a full-state
-            # save), same dual-format contract as train/driver._restore_scope.
+            # pwc-scope checkpoint from pretrain_flow.py or a full TrainState
+            # save (train.py's model.best), same dual-format contract as
+            # train/driver._restore_scope.
             from . import checkpoint as _ckpt
 
-            pwc_params = _ckpt.restore_checkpoint(config.flow_ckpt, pwc_params)
+            pwc_params = _ckpt.restore_params_scope(
+                config.flow_ckpt, pwc_params, "pwc_params")
 
     opt_state = optimizer.init(rec_params)
 
