@@ -24,21 +24,17 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import sys
-import time
 
 ASSUMED_TF1_GPU_FPS = 25.0
 
 
 def main():
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
     from unsupervised_detection_tpu.config import Config
     from unsupervised_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    from unsupervised_detection_tpu.train.objective import AdversarialObjective
 
     args = sys.argv[1:]
     # Batch 128 default: the concat-free estimator + major-axis costvol stack
@@ -61,35 +57,13 @@ def main():
 
     cfg = Config(batch_size=batch, compute_dtype=compute_dtype,
                  use_pallas=use_pallas, flow_resolution_divisor=flow_div)
-    obj = AdversarialObjective(cfg)
+    # Shared builder (jitted inits, checksum sync, cost_analysis unwrap):
+    # the same program __graft_entry__.entry exposes to the driver and
+    # tools/bench_batch_sweep.py sweeps.
+    from unsupervised_detection_tpu import benchlib
 
-    rng = jax.random.PRNGKey(0)
-    r_gen, r_pwc = jax.random.split(rng)
-    img_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 3), jnp.float32)
-    flow_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 2), jnp.float32)
-    img_r = jnp.zeros((1, cfg.reader_height, cfg.reader_width, 3), jnp.float32)
-    # jit the inits: eager flax init dispatches op-by-op — ~6 min of
-    # round-trips for the PWC net through the remote-TPU tunnel.
-    gen_vars = jax.jit(obj.generator.init)(r_gen, img_w, flow_w)
-    pwc_vars = jax.jit(obj.pwc.init)(r_pwc, img_r, img_r)
-
-    @jax.jit
-    def forward(gen_params, gen_stats, pwc_params, img1, img2):
-        flow = obj.compute_flow(pwc_params, img1, img2)
-        image, flow_n = obj.resize_to_working(img1, flow)
-        mask = obj.generate_mask(gen_params, gen_stats, image, flow_n)
-        # Scalar checksum: fetching it forces completion of the whole batch
-        # (block_until_ready is unreliable through the remote-TPU tunnel).
-        return mask, jnp.sum(mask)
-
-    rs = np.random.RandomState(0)
-    img1 = jnp.asarray(
-        rs.rand(batch, cfg.reader_height, cfg.reader_width, 3).astype(np.float32) - 0.5
-    )
-    img2 = jnp.asarray(
-        rs.rand(batch, cfg.reader_height, cfg.reader_width, 3).astype(np.float32) - 0.5
-    )
-    args = (gen_vars["params"], gen_vars["batch_stats"], pwc_vars["params"], img1, img2)
+    forward, example_args = benchlib.build_forward(cfg)
+    args = example_args[:3] + benchlib.random_images(cfg)
 
     # Analytic FLOP accounting from the compiled program itself: XLA's
     # cost analysis counts every HLO's FLOPs (convs dominate; an MXU
@@ -98,35 +72,13 @@ def main():
     # measured chained-matmul ceiling on this chip (~68 TFLOP/s,
     # tools/bench_trace_full.py calibration, ROADMAP "Perf context") and
     # the v5e bf16 paper peak (197 TFLOP/s).
-    compiled = forward.lower(*args).compile()
-    flops_per_frame = None
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_frame = float(cost["flops"]) / batch
-    except Exception as e:  # cost_analysis is backend-dependent; fps still reports
-        print(f"cost_analysis unavailable ({type(e).__name__}: {e})", file=sys.stderr)
-    forward = compiled  # run the measured executable itself (one compile)
+    compiled = jax.jit(forward).lower(*args).compile()
+    total_flops = benchlib.cost_flops(compiled)
+    flops_per_frame = total_flops / batch if total_flops is not None else None
+    if flops_per_frame is None:  # backend-dependent; fps still reports
+        print("cost_analysis unavailable", file=sys.stderr)
 
-    # Warmup (fetch the checksum to force execution end-to-end).
-    float(forward(*args)[1])
-
-    # Roundtrip latency of a sync alone, to subtract from the timed window.
-    t0 = time.perf_counter()
-    float(forward(*args)[1])
-    roundtrip_plus_step = time.perf_counter() - t0
-
-    iters = 20
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        checksum = None
-        for _ in range(iters):
-            checksum = forward(*args)[1]
-        float(checksum)  # device executes in order; last done => all done
-        best = min(best, (time.perf_counter() - t0) / iters)
-
+    best = benchlib.time_compiled(compiled, args)
     fps = batch / best
     record = {
         "metric": "davis2016_flow_mask_inference_fps",

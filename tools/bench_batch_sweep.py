@@ -13,43 +13,19 @@ Usage: python tools/bench_batch_sweep.py [batch ...] (default 64 96 128 160 192 
 import json
 import os
 import sys
-import time
-
-import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def measure(batch):
     import jax
-    import jax.numpy as jnp
 
+    from unsupervised_detection_tpu import benchlib
     from unsupervised_detection_tpu.config import Config
-    from unsupervised_detection_tpu.train.objective import AdversarialObjective
 
     cfg = Config(batch_size=batch, compute_dtype="bfloat16")
-    obj = AdversarialObjective(cfg)
-
-    rng = jax.random.PRNGKey(0)
-    r_gen, r_pwc = jax.random.split(rng)
-    img_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 3), jnp.float32)
-    flow_w = jnp.zeros((1, cfg.img_height, cfg.img_width, 2), jnp.float32)
-    img_r = jnp.zeros((1, cfg.reader_height, cfg.reader_width, 3), jnp.float32)
-    gen_vars = jax.jit(obj.generator.init)(r_gen, img_w, flow_w)
-    pwc_vars = jax.jit(obj.pwc.init)(r_pwc, img_r, img_r)
-
-    def forward(gen_params, gen_stats, pwc_params, img1, img2):
-        flow = obj.compute_flow(pwc_params, img1, img2)
-        image, flow_n = obj.resize_to_working(img1, flow)
-        mask = obj.generate_mask(gen_params, gen_stats, image, flow_n)
-        return mask, jnp.sum(mask)
-
-    rs = np.random.RandomState(0)
-    shape = (batch, cfg.reader_height, cfg.reader_width, 3)
-    img1 = jnp.asarray(rs.rand(*shape).astype(np.float32) - 0.5)
-    img2 = jnp.asarray(rs.rand(*shape).astype(np.float32) - 0.5)
-    args = (gen_vars["params"], gen_vars["batch_stats"], pwc_vars["params"],
-            img1, img2)
+    forward, example_args = benchlib.build_forward(cfg)
+    args = example_args[:3] + benchlib.random_images(cfg)
 
     compiled = jax.jit(forward).lower(*args).compile()
     rec = {"batch": batch}
@@ -63,24 +39,11 @@ def measure(batch):
         })
     except Exception as e:
         rec["memory_analysis_error"] = f"{type(e).__name__}: {e}"
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        rec["gflop_per_frame"] = round(float(cost["flops"]) / batch / 1e9, 2)
-    except Exception:
-        pass
+    flops = benchlib.cost_flops(compiled)
+    if flops is not None:
+        rec["gflop_per_frame"] = round(flops / batch / 1e9, 2)
 
-    float(compiled(*args)[1])  # warm up; scalar fetch = tunnel-safe sync
-    iters = 20
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        checksum = None
-        for _ in range(iters):
-            checksum = compiled(*args)[1]
-        float(checksum)
-        best = min(best, (time.perf_counter() - t0) / iters)
+    best = benchlib.time_compiled(compiled, args)
     rec["fps"] = round(batch / best, 1)
     rec["ms_per_batch"] = round(best * 1e3, 2)
     return rec
