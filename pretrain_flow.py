@@ -9,7 +9,8 @@ one; this CLI bootstraps a flow network from scratch with no external data
 `--checkpoint_dir` receives pwc-scope checkpoints consumable via
 train.py --flow_ckpt.
 
-Extra flag: --pretrain_steps (default 20000).
+Extra flags: --pretrain_steps (default 20000), --lr_schedule
+(constant|cosine, default constant).
 """
 
 import os
@@ -23,10 +24,13 @@ def main(argv):
     enable_compilation_cache()
 
     steps = 20000
+    lr_schedule = "constant"
     filtered = []
     for arg in argv[1:]:
         if arg.startswith("--pretrain_steps="):
             steps = int(arg.split("=", 1)[1])
+        elif arg.startswith("--lr_schedule="):
+            lr_schedule = arg.split("=", 1)[1]
         else:
             filtered.append(arg)
     config = parse_flags(filtered)
@@ -36,7 +40,7 @@ def main(argv):
 
     from unsupervised_detection_tpu.train.pretrain_pwc import pretrain_pwc
 
-    pretrain_pwc(config, steps=steps)
+    pretrain_pwc(config, steps=steps, lr_schedule=lr_schedule)
 
 
 if __name__ == "__main__":

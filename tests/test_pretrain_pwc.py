@@ -136,3 +136,20 @@ def test_full_state_save_feeds_flow_ckpt_paths(tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree.leaves(state2.pwc_params)[0]),
         np.asarray(jax.tree.leaves(state.pwc_params)[0]))
+
+
+def test_lr_schedule_option(tmp_path):
+    """lr_schedule="cosine" trains (warmup+decay wrapped into optax.adam);
+    unknown names are rejected."""
+    cfg = Config(batch_size=2, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0)
+
+    def easy_batches(rng, batch, h, w):
+        return synthetic_flow_batch(rng, batch, h, w, max_mag=3.0)
+
+    _, epe = pretrain_pwc(cfg, steps=2, verbose=False,
+                          batch_fn=easy_batches, lr_schedule="cosine")
+    assert np.isfinite(epe)
+    with pytest.raises(ValueError):
+        pretrain_pwc(cfg, steps=1, verbose=False, batch_fn=easy_batches,
+                     lr_schedule="bogus")

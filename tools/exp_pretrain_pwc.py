@@ -75,8 +75,12 @@ def main():
             jnp.zeros((1, H, W, 3)), jnp.zeros((1, H, W, 3)))["params"]
         params = ckpt.restore_checkpoint(resume, template)
         print(f"resumed params from {resume}", flush=True)
+    # PWC_LR_SCHEDULE=cosine enables warmup+cosine decay (constant default
+    # keeps earlier arms' runs reproducible).
     _, epe = pretrain_pwc(cfg, steps=steps, batch_fn=device_batches,
-                          save_every=1000, params=params)
+                          save_every=1000, params=params,
+                          lr_schedule=os.environ.get("PWC_LR_SCHEDULE",
+                                                     "constant"))
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "
           f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
 

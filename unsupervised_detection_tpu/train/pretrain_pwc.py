@@ -103,16 +103,26 @@ def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
 
 def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
                  batch_fn=None, learning_rate: Optional[float] = None,
-                 params=None, save_every: int = 1000) -> Tuple[dict, float]:
+                 params=None, save_every: int = 1000,
+                 lr_schedule: str = "constant") -> Tuple[dict, float]:
     """Train the PWC net on synthetic warped scenes; returns (params, EPE).
 
     `batch_fn(rng, batch, H, W) -> (img1, img2, flow)` overrides the scene
     generator (tests use tiny fields); EPE returned is the final-step
     training EPE in reader pixels. With config.checkpoint_dir set, bare
     pwc-scope checkpoints are written, consumable by train.py --flow_ckpt
-    (train/driver._restore_scope)."""
+    (train/driver._restore_scope). lr_schedule="cosine" decays the rate to
+    5% of peak over `steps` after a 200-step linear warmup (constant, the
+    default, reproduces earlier runs exactly)."""
     obj = AdversarialObjective(config)
     lr = learning_rate if learning_rate is not None else config.learning_rate
+    if lr_schedule == "cosine":
+        warmup = min(200, max(1, steps // 10))
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=lr / 10, peak_value=lr, warmup_steps=warmup,
+            decay_steps=steps, end_value=lr * 0.05)
+    elif lr_schedule != "constant":
+        raise ValueError(f"Unknown lr_schedule: {lr_schedule!r}")
     optimizer = optax.adam(lr, b1=config.beta1, eps=config.adam_epsilon)
     h, w = config.reader_height, config.reader_width
 
