@@ -29,12 +29,33 @@ ASSUMED_TF1_GPU_FPS = 25.0
 
 
 def main():
+    import os
+    import threading
+
+    # Backend-init watchdog: through the remote-TPU tunnel, jax.devices()
+    # HANGS indefinitely when the tunnel is down (observed multi-hour
+    # outages). Normal init takes seconds; if it hasn't completed in 10
+    # minutes, emit an honest failure record instead of hanging the caller.
+    def _fire():
+        print(json.dumps({
+            "metric": "davis2016_flow_mask_inference_fps", "value": 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 0.0,
+            "error": "backend init did not complete within 600s "
+                     "(remote TPU tunnel unreachable?)"}), flush=True)
+        os._exit(3)
+
+    watchdog = threading.Timer(600, _fire)
+    watchdog.daemon = True
+    watchdog.start()
+
     import jax
 
     from unsupervised_detection_tpu.config import Config
     from unsupervised_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    watchdog.cancel()
 
     args = sys.argv[1:]
     # Batch 128 default: the concat-free estimator + major-axis costvol stack
