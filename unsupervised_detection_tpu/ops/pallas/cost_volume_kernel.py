@@ -53,9 +53,13 @@ def _vmem_estimate(h: int, w: int, c: int, r: int, itemsize: int) -> int:
     return itemsize * (h * w * c + padded + h * w * n_off)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def cost_volume_pallas(c1, warp, search_range: int = 4):
-    """Fused cost volume; same semantics as ops.cost_volume.cost_volume."""
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def cost_volume_pallas(c1, warp, search_range: int = 4,
+                       interpret: bool = False):
+    """Fused cost volume; same semantics as ops.cost_volume.cost_volume.
+
+    interpret=True runs the kernel through the Pallas interpreter (any
+    backend) — the CPU-testable path tests/test_pallas_costvol.py uses."""
     b, h, w, c = c1.shape
     r = search_range
     n_off = (2 * r + 1) ** 2
@@ -86,5 +90,6 @@ def cost_volume_pallas(c1, warp, search_range: int = 4):
             bytes_accessed=c1.dtype.itemsize * b * (2 * h * w * c + h * w * n_off),
             transcendentals=0,
         ),
+        interpret=interpret,
     )(c1_t, padded)
     return jnp.transpose(out, (0, 2, 3, 1))
