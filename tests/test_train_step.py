@@ -114,3 +114,28 @@ def test_losses_match_reference_structure(learner, state, tiny_config):
         float(losses["red_rate"]) + float(losses["red_rate_compl"]),
         rtol=1e-5,
     )
+
+
+def test_model_axis_mesh_equivalence(tiny_config):
+    """A ("data"=4, "model"=2) mesh runs the train step with results equal to
+    the default 8x1 mesh: nothing shards over "model" yet (SURVEY's TP
+    placeholder), so parameters replicate along it and the 4-way data-
+    parallel result must match the 8-way one up to reduction order."""
+    cfg = tiny_config.replace(mesh_model=2, mesh_data=0)
+    learner2 = AdversarialLearner(cfg)
+    assert learner2.mesh.devices.shape == (4, 2)
+    state2 = learner2.init_state(jax.random.PRNGKey(0))
+
+    learner1 = AdversarialLearner(tiny_config)
+    state1 = learner1.init_state(jax.random.PRNGKey(0))
+
+    img1, img2 = _batch(tiny_config)
+    out1, losses1, _ = learner1.generator_step(state1, img1, img2)
+    out2, losses2, _ = learner2.generator_step(state2, img1, img2)
+    for k in losses1:
+        np.testing.assert_allclose(float(losses1[k]), float(losses2[k]),
+                                   rtol=2e-5, atol=2e-6)
+    a = jax.tree.leaves(out1.gen_params)[0]
+    b = jax.tree.leaves(out2.gen_params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-6)
