@@ -65,3 +65,22 @@ def test_reference_train_script_flags():
     assert cfg.train_crop == 0.6
     assert cfg.flow_ckpt.endswith("595000")
     assert cfg.generate_visualization is False
+
+
+def test_cli_error_paths():
+    """The reference's hard-error contracts at the CLI boundary: a missing
+    checkpoint file raises (test_generator.py:53-56 upstream restores or
+    dies), an unknown dataset raises the reference's exact message
+    (adversarial_learner.py:64-66)."""
+    import pytest
+
+    from unsupervised_detection_tpu.data import get_reader
+
+    with pytest.raises(IOError, match="Dataset should be"):
+        get_reader("BOGUS", "/nonexistent")
+
+    import test_generator as tg
+
+    with pytest.raises((IOError, SystemExit)):
+        tg.main(["test_generator.py", "--ckpt_file=/nonexistent/ckpt",
+                 "--root_dir=/nonexistent"])
