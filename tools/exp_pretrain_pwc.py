@@ -46,6 +46,13 @@ def main():
     print(f"pwc-pretrain on device scenes: steps={steps} batch={batch} "
           f"res={H}x{W} ckpt={ckpt_dir} "
           f"platform={jax.devices()[0].platform}", flush=True)
+    if jax.devices()[0].platform == "tpu" and H * W > 128 * 192:
+        # The remote compile helper SIGKILLs on PWC backward above
+        # 128x192 even at search_range=2 (verify skill, gotchas); the
+        # run would sit in compilation until killed.
+        print(f"WARNING: {H}x{W} PWC backward exceeds the remote "
+              "compile-helper budget on the tunneled TPU; use <=128x192 "
+              "(see .claude/skills/verify/SKILL.md).", flush=True)
 
     make = make_batch_fn(batch, H, W, square=max(16, H // 4), with_pairs=True)
     keybox = {"k": jax.random.PRNGKey(5)}
