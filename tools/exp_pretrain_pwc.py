@@ -7,12 +7,20 @@ affine-background pairs — the exact distribution the adversarial-game
 experiment evaluates on, and no host<->device transfers (the remote-TPU
 tunnel makes host-generated batches ~1 s/step).
 
-Usage: python tools/exp_pretrain_pwc.py [steps] [batch] [H] [W] [ckpt_dir] [resume_ckpt]
+Usage: python tools/exp_pretrain_pwc.py [steps] [batch] [H] [W] [ckpt_dir]
+           [resume_ckpt] [scenes_version]
 
 With resume_ckpt (a pwc-scope checkpoint file), training continues from
 those params instead of a fresh init — used to extend the pretrain in
 stages between experiment arms (optimizer moments restart; at a flat lr
 with Adam this costs a brief re-warmup only).
+
+scenes_version 2 (round 4) switches to tools/exp_scenes.make_scenes_v2
+(multi-object, varied sizes, photometric noise) WITH object-upweighted
+loss (PWC_OBJECT_WEIGHT, default 4.0) and region-EPE reporting — the
+recipe fix for the round-3 failure where mean-EPE training on
+single-small-square scenes never learned object motion (inside-EPE
+16 px at 0.36 px background; tools/exp_flow_diag.py).
 """
 
 import os
@@ -41,10 +49,12 @@ def main():
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 384
     ckpt_dir = sys.argv[5] if len(sys.argv) > 5 else "/tmp/exp_pwc_ckpt"
     resume = sys.argv[6] if len(sys.argv) > 6 else ""
+    scenes_version = int(sys.argv[7]) if len(sys.argv) > 7 else 1
+    object_weight = float(os.environ.get("PWC_OBJECT_WEIGHT", "4.0"))
     enable_compilation_cache()
     os.makedirs(ckpt_dir, exist_ok=True)
     print(f"pwc-pretrain on device scenes: steps={steps} batch={batch} "
-          f"res={H}x{W} ckpt={ckpt_dir} "
+          f"res={H}x{W} ckpt={ckpt_dir} scenes=v{scenes_version} "
           f"platform={jax.devices()[0].platform}", flush=True)
     if jax.devices()[0].platform == "tpu" and H * W > 128 * 192:
         # The remote compile helper SIGKILLs on PWC backward above
@@ -54,13 +64,22 @@ def main():
               "compile-helper budget on the tunneled TPU; use <=128x192 "
               "(see .claude/skills/verify/SKILL.md).", flush=True)
 
-    make = make_batch_fn(batch, H, W, square=max(16, H // 4), with_pairs=True)
+    if scenes_version == 2:
+        from exp_scenes import make_scenes_v2
+
+        make = make_scenes_v2(batch, H, W)
+    else:
+        make = make_batch_fn(batch, H, W, square=max(16, H // 4),
+                             with_pairs=True)
+        object_weight = 0.0  # v1 arms stay reproducible
     keybox = {"k": jax.random.PRNGKey(5)}
 
     def device_batches(_rng, _b, _h, _w):
         keybox["k"], k = jax.random.split(keybox["k"])
-        img1, img2, flow80, _gt = make(k)
-        return img1, img2, flow80 * 80.0  # pretrain targets pixel units
+        img1, img2, flow80, gt = make(k)
+        if scenes_version == 2:  # pretrain targets pixel units
+            return img1, img2, flow80 * 80.0, gt
+        return img1, img2, flow80 * 80.0
 
     # search_range=2 (25 cost-volume shifts instead of 81): the full
     # backward at range 4 exceeds the remote AOT compile helper's budget
@@ -87,7 +106,8 @@ def main():
     _, epe = pretrain_pwc(cfg, steps=steps, batch_fn=device_batches,
                           save_every=1000, params=params,
                           lr_schedule=os.environ.get("PWC_LR_SCHEDULE",
-                                                     "constant"))
+                                                     "constant"),
+                          object_weight=object_weight)
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "
           f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
 

@@ -77,7 +77,7 @@ def synthetic_flow_batch(rng: np.random.RandomState, batch: int, height: int,
 
 
 def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
-                   aux_weight: float = 0.1):
+                   aux_weight: float = 0.1, weight=None):
     """Final-resolution EPE + auxiliary per-level EPE.
 
     Pyramid levels are coarse->fine (models/pwcnet.py return_pyramid).
@@ -89,22 +89,39 @@ def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
         the true level-l pixel motion F/2**lvl;
       * the output level: resize(F) / 2**flow_pred_lvl — the final x4
         upsample multiplies magnitudes by 2**flow_pred_lvl, so this target
-        makes the full-resolution output equal F in reader pixels."""
-    epe = jnp.mean(jnp.linalg.norm(flow_pred - flow_gt, axis=-1))
+        makes the full-resolution output equal F in reader pixels.
+
+    `weight` ([B,H,W,1], optional) reweights pixels in the LOSS at every
+    level (normalized so the mean weight is 1) — used to upweight moving
+    objects, whose few pixels a uniform mean otherwise optimizes away
+    (round-4 diagnosis: 0.36 px background vs 16 px inside-object EPE).
+    The returned `epe` metric stays unweighted."""
+    err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1)
+    epe = jnp.mean(err)
+
+    def wmean(e, w):
+        if w is None:
+            return jnp.mean(e)
+        w = w[..., 0]
+        return jnp.sum(e * w) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    loss = wmean(err, weight)
     aux = 0.0
     for i, flow_l in enumerate(flow_pyr):
         size = (flow_l.shape[1], flow_l.shape[2])
         scale = (2.0**flow_pred_lvl if i == len(flow_pyr) - 1 else 20.0)
         target = resize_bilinear(flow_gt, size) / scale
-        aux = aux + jnp.mean(jnp.linalg.norm(
-            flow_l.astype(jnp.float32) - target, axis=-1))
-    return epe + aux_weight * aux, epe
+        w_l = None if weight is None else resize_bilinear(weight, size)
+        aux = aux + wmean(jnp.linalg.norm(
+            flow_l.astype(jnp.float32) - target, axis=-1), w_l)
+    return loss + aux_weight * aux, epe
 
 
 def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
                  batch_fn=None, learning_rate: Optional[float] = None,
                  params=None, save_every: int = 1000,
-                 lr_schedule: str = "constant") -> Tuple[dict, float]:
+                 lr_schedule: str = "constant",
+                 object_weight: float = 0.0) -> Tuple[dict, float]:
     """Train the PWC net on synthetic warped scenes; returns (params, EPE).
 
     `batch_fn(rng, batch, H, W) -> (img1, img2, flow)` overrides the scene
@@ -113,7 +130,14 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
     pwc-scope checkpoints are written, consumable by train.py --flow_ckpt
     (train/driver._restore_scope). lr_schedule="cosine" decays the rate to
     5% of peak over `steps` after a 200-step linear warmup (constant, the
-    default, reproduces earlier runs exactly)."""
+    default, reproduces earlier runs exactly).
+
+    `batch_fn` may also return a 4th element — an object mask [B,H,W,1] —
+    in which case the loss upweights object pixels by `object_weight`
+    (per-pixel weight 1 + object_weight*mask, multiscale_epe) and the
+    progress line reports EPE split by region (inside objects vs
+    background), the metric that actually gates the adversarial game
+    (tools/exp_flow_diag.py)."""
     obj = AdversarialObjective(config)
     lr = learning_rate if learning_rate is not None else config.learning_rate
     if lr_schedule == "cosine":
@@ -134,28 +158,48 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
         params = jax.jit(obj.pwc.init)(rng, img_r, img_r)["params"]
     opt_state = optimizer.init(params)
 
-    def step(params, opt_state, img1, img2, flow_gt):
+    def step(params, opt_state, img1, img2, flow_gt, obj_mask):
         def loss_fn(p):
             flow_pred, flow_pyr = obj.pwc.apply(
                 {"params": p}, img1, img2, return_pyramid=True)
+            weight = (None if obj_mask is None
+                      else 1.0 + object_weight * obj_mask)
             loss, epe = multiscale_epe(flow_pred, flow_pyr, flow_gt,
-                                       obj.pwc.flow_pred_lvl)
-            return loss, epe
+                                       obj.pwc.flow_pred_lvl, weight=weight)
+            regions = ()
+            if obj_mask is not None:
+                err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1,
+                                      keepdims=True)
+                inside = jnp.sum(err * obj_mask) / jnp.maximum(
+                    jnp.sum(obj_mask), 1.0)
+                bg = jnp.sum(err * (1 - obj_mask)) / jnp.maximum(
+                    jnp.sum(1 - obj_mask), 1.0)
+                regions = (inside, bg)
+            return loss, (epe, regions)
 
-        (loss, epe), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (epe, regions)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss, epe
+        return (optax.apply_updates(params, updates), opt_state, loss, epe,
+                regions)
 
-    step = jax.jit(step, donate_argnums=(0, 1))
+    step = jax.jit(step, donate_argnums=(0, 1), static_argnames=())
     make = batch_fn or synthetic_flow_batch
     nprng = np.random.RandomState(config.seed)
     epe = float("nan")
     for i in range(1, steps + 1):
-        img1, img2, flow = make(nprng, config.batch_size, h, w)
-        params, opt_state, loss, epe = step(params, opt_state, img1, img2, flow)
+        out = make(nprng, config.batch_size, h, w)
+        img1, img2, flow = out[:3]
+        obj_mask = out[3] if len(out) > 3 else None
+        params, opt_state, loss, epe, regions = step(
+            params, opt_state, img1, img2, flow, obj_mask)
         if verbose and (i % 50 == 0 or i == 1):
+            extra = ""
+            if regions:
+                extra = (f"  inside {float(regions[0]):.3f}"
+                         f"  bg {float(regions[1]):.3f}")
             print(f"pwc-pretrain {i:6d}  loss {float(loss):.4f}  "
-                  f"EPE {float(epe):.4f} px", flush=True)
+                  f"EPE {float(epe):.4f} px{extra}", flush=True)
         if config.checkpoint_dir and i % save_every == 0:
             from . import checkpoint as ckpt
 
