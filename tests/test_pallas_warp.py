@@ -1,0 +1,97 @@
+"""Windowed gather-free Pallas warp vs the XLA warp oracle (interpret mode).
+
+The kernel (ops/pallas/warp_kernel.py) replaces the 4-tap bilinear gather
+(reference core_warp.py:131-148) with a dynamic-slice window DMA + VPU
+shift-enumeration + one-hot MXU matmul. Exact (up to fp reassociation)
+whenever each 8-row block's floor_y spread fits the 32-row window —
+`window_overflow_blocks` counts violations.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unsupervised_detection_tpu.ops.pallas.warp_kernel import (
+    BLOCK_H, WINDOW_K, warp_window_pallas, window_overflow_blocks)
+from unsupervised_detection_tpu.ops.warp import dense_image_warp
+
+
+def _smooth_flow(rng, b, h, w, amp):
+    coarse = rng.randn(b, max(h // 8, 1), max(w // 8, 1), 2).astype(np.float32)
+    return np.asarray(jax.image.resize(coarse, (b, h, w, 2), "linear")) * amp
+
+
+@pytest.mark.parametrize("shape,amp", [
+    ((2, 16, 128, 8), 3.0),     # in-window smooth flow
+    ((1, 32, 160, 32), 6.0),    # PWC-L2-like channels
+    ((2, 16, 128, 8), 40.0),    # large but smooth: taps clamp at edges
+])
+def test_window_warp_matches_xla(shape, amp):
+    rng = np.random.RandomState(0)
+    b, h, w, c = shape
+    image = rng.randn(b, h, w, c).astype(np.float32)
+    flow = _smooth_flow(rng, b, h, w, amp)
+    # Smooth flows keep every block inside the window.
+    assert int(window_overflow_blocks(image.shape, flow)) == 0
+
+    got = np.asarray(warp_window_pallas(image, flow, True))
+    want = np.asarray(dense_image_warp(image, flow, method="flat"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_window_warp_bf16():
+    rng = np.random.RandomState(1)
+    image = rng.randn(1, 16, 128, 8).astype(np.float32)
+    flow = _smooth_flow(rng, 1, 16, 128, 2.5)
+    got = np.asarray(
+        warp_window_pallas(image.astype(jnp.bfloat16),
+                           flow.astype(jnp.bfloat16), True).astype(np.float32))
+    want = np.asarray(
+        dense_image_warp(jnp.asarray(image, jnp.bfloat16),
+                         jnp.asarray(flow, jnp.bfloat16),
+                         method="flat").astype(np.float32))
+    # Same bf16 operands; the only divergence is tap-product reassociation.
+    assert np.abs(got - want).max() < 0.08
+
+
+def test_overflow_detection():
+    # H must exceed the window for an overflow to be possible (floor_y is
+    # clamped to [0, H-2]). Alternate +-2K vertical flow within one block:
+    # the clamped taps span the full image, far beyond the window.
+    b, h, w = 1, WINDOW_K * 2, 128
+    flow = np.zeros((b, h, w, 2), np.float32)
+    flow[:, ::2, :, 0] = float(2 * WINDOW_K)
+    flow[:, 1::2, :, 0] = -float(2 * WINDOW_K)
+    n = int(window_overflow_blocks((b, h, w, 4), flow))
+    assert n > 0
+
+
+def test_fallback_indivisible_height():
+    # H=12 is not divisible by BLOCK_H once the window shrinks; the call
+    # must still return the exact warp via the XLA fallback.
+    rng = np.random.RandomState(2)
+    image = rng.randn(1, 12, 64, 4).astype(np.float32)
+    flow = _smooth_flow(rng, 1, 12, 64, 2.0)
+    got = np.asarray(warp_window_pallas(image, flow, True))
+    want = np.asarray(dense_image_warp(image, flow, method="flat"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_pwc_incontext_flow_fits_window():
+    # PWC warps with x2-bilinear-upsampled coarse flow (model_pwcnet.py:616).
+    # A smooth coarse field of realistic magnitude (coarse predictions are
+    # themselves smooth motion fields, up to tens of px) stays within the
+    # window after upsampling, even at large absolute displacement.
+    rng = np.random.RandomState(3)
+    b, h, w = 2, 96, 160
+    # amp 3 gives |flow| up to ~20 feature px (~80 px at full res) with
+    # vertical gradients already well above real coarse predictions' (the
+    # white-noise construction is harsher per-px than network flow fields;
+    # the production contract is additionally asserted in-context on the
+    # TPU by tools/bench_warp_window.py against real PWC intermediates).
+    coarse = _smooth_flow(rng, b, h // 2, w // 2, 3.0)
+    up = np.asarray(jax.image.resize(coarse, (b, h, w, 2), "linear")) * 2.0
+    assert float(np.abs(up).max()) > 10.0  # large displacements present
+    assert int(window_overflow_blocks((b, h, w, 32), up)) == 0

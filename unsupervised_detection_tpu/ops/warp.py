@@ -101,7 +101,21 @@ def _warp_quad(image, flow):
                  taps[..., 2 * c:3 * c], taps[..., 3 * c:], ay, ax)
 
 
-_WARP_METHODS = {"flat": _warp_flat, "dup2": _warp_dup2, "quad": _warp_quad}
+def _warp_window(image, flow):
+    """Gather-free windowed Pallas kernel (ops/pallas/warp_kernel.py).
+
+    Equal to the gather formulations up to fp reassociation when each 8-row
+    block's vertical source spread fits the 32-row window (true for PWC's
+    smooth upsampled flows — `window_overflow_blocks` checks a given flow);
+    out-of-window taps clamp to the window edge. Opt-in perf mode; the
+    parity default stays "quad"."""
+    from .pallas.warp_kernel import warp_window_pallas
+
+    return warp_window_pallas(image, flow)
+
+
+_WARP_METHODS = {"flat": _warp_flat, "dup2": _warp_dup2, "quad": _warp_quad,
+                 "window": _warp_window}
 
 
 def dense_image_warp(image, flow, method: str = "flat"):

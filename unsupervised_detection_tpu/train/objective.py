@@ -60,6 +60,7 @@ class AdversarialObjective:
             search_range=config.pwc_search_range,
             dtype=dtype,
             use_pallas_costvol=config.use_pallas,
+            warp_method=config.warp_method,
         )
 
     # --- network applications -------------------------------------------
