@@ -24,9 +24,11 @@ def _smooth_flow(rng, b, h, w, amp):
 
 
 @pytest.mark.parametrize("shape,amp", [
-    ((2, 16, 128, 8), 3.0),     # in-window smooth flow
+    ((2, 16, 128, 32), 3.0),    # in-window smooth flow
     ((1, 32, 160, 32), 6.0),    # PWC-L2-like channels
-    ((2, 16, 128, 8), 40.0),    # large but smooth: taps clamp at edges
+    ((2, 16, 128, 32), 40.0),   # large but smooth: taps clamp at edges
+    ((2, 16, 128, 8), 3.0),     # c=8: alignment slack > K-2 -> quad fallback
+    ((2, 16, 128, 12), 3.0),    # K*C % 128 != 0 -> quad fallback
 ])
 def test_window_warp_matches_xla(shape, amp):
     rng = np.random.RandomState(0)
@@ -43,7 +45,7 @@ def test_window_warp_matches_xla(shape, amp):
 
 def test_window_warp_bf16():
     rng = np.random.RandomState(1)
-    image = rng.randn(1, 16, 128, 8).astype(np.float32)
+    image = rng.randn(1, 16, 128, 32).astype(np.float32)
     flow = _smooth_flow(rng, 1, 16, 128, 2.5)
     got = np.asarray(
         warp_window_pallas(image.astype(jnp.bfloat16),
@@ -60,19 +62,21 @@ def test_overflow_detection():
     # H must exceed the window for an overflow to be possible (floor_y is
     # clamped to [0, H-2]). Alternate +-2K vertical flow within one block:
     # the clamped taps span the full image, far beyond the window.
+    # c=32: a kernel-path shape (the quad fallback would report 0).
     b, h, w = 1, WINDOW_K * 2, 128
     flow = np.zeros((b, h, w, 2), np.float32)
     flow[:, ::2, :, 0] = float(2 * WINDOW_K)
     flow[:, 1::2, :, 0] = -float(2 * WINDOW_K)
-    n = int(window_overflow_blocks((b, h, w, 4), flow))
+    n = int(window_overflow_blocks((b, h, w, 32), flow))
     assert n > 0
 
 
-def test_fallback_indivisible_height():
-    # H=12 is not divisible by BLOCK_H once the window shrinks; the call
-    # must still return the exact warp via the XLA fallback.
+def test_indivisible_height_adaptive_blocking():
+    # H=12 is not divisible by BLOCK_H=8; the kernel must adapt its row
+    # blocking (whole-height block, Mosaic's "equal to the array dim"
+    # escape hatch) and still be exact.
     rng = np.random.RandomState(2)
-    image = rng.randn(1, 12, 64, 4).astype(np.float32)
+    image = rng.randn(1, 12, 64, 128).astype(np.float32)
     flow = _smooth_flow(rng, 1, 12, 64, 2.0)
     got = np.asarray(warp_window_pallas(image, flow, True))
     want = np.asarray(dense_image_warp(image, flow, method="flat"))
@@ -95,3 +99,30 @@ def test_pwc_incontext_flow_fits_window():
     up = np.asarray(jax.image.resize(coarse, (b, h, w, 2), "linear")) * 2.0
     assert float(np.abs(up).max()) > 10.0  # large displacements present
     assert int(window_overflow_blocks((b, h, w, 32), up)) == 0
+
+
+def test_window_method_runtime_guard():
+    # dense_image_warp(method="window") is runtime-guarded: when the flow
+    # violates the window contract, lax.cond dispatches to the quad gather
+    # and the result is TAP-EXACT (bit-identical to quad), not clamped.
+    b, h, w, c = 1, 96, 160, 32
+    rng = np.random.RandomState(4)
+    image = rng.randn(b, h, w, c).astype(np.float32)
+    flow = np.zeros((b, h, w, 2), np.float32)
+    flow[:, ::2, :, 0] = 80.0   # alternating +-80 px vertical: overflows
+    flow[:, 1::2, :, 0] = -80.0
+    assert int(window_overflow_blocks((b, h, w, c), flow)) > 0
+    got = np.asarray(dense_image_warp(image, flow, method="window"))
+    want = np.asarray(dense_image_warp(image, flow, method="quad"))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_window_method_small_level_static_gate():
+    # Small PWC levels (h*w below the measured win threshold) dispatch
+    # straight to quad — again bit-identical.
+    rng = np.random.RandomState(5)
+    image = rng.randn(2, 24, 40, 96).astype(np.float32)
+    flow = _smooth_flow(rng, 2, 24, 40, 3.0)
+    got = np.asarray(dense_image_warp(image, flow, method="window"))
+    want = np.asarray(dense_image_warp(image, flow, method="quad"))
+    np.testing.assert_array_equal(got, want)

@@ -73,20 +73,25 @@ def main():
         for lvl, h, w, c, amp in levels:
             img = jnp.asarray(rng.randn(batch, h, w, c), dtype)
             flow = jnp.asarray(smooth_flow(rng, batch, h, w, amp), dtype)
-            ovf = int(window_overflow_blocks(img.shape, flow))
             quad = jax.jit(lambda i, f: dense_image_warp(i, f, method="quad"))
             flat = jax.jit(lambda i, f: dense_image_warp(i, f, method="flat"))
-            win = jax.jit(lambda i, f: warp_window_pallas(i, f))
             tq = timeit(quad, (img, flow)) * 1e3
             tf = timeit(flat, (img, flow)) * 1e3
-            tw = timeit(win, (img, flow)) * 1e3
-            # numeric check on-device
-            d = float(jnp.max(jnp.abs(
-                win(img, flow).astype(jnp.float32)
-                - quad(img, flow).astype(jnp.float32))))
-            print(f"L{lvl} {h}x{w}x{c}: quad {tq:7.2f} ms  flat {tf:7.2f} ms"
-                  f"  window {tw:7.2f} ms  ({tq / tw:4.1f}x vs quad,"
-                  f" maxdiff {d:.4f}, overflow {ovf})", flush=True)
+            line = (f"L{lvl} {h}x{w}x{c}: quad {tq:7.2f} ms"
+                    f"  flat {tf:7.2f} ms")
+            # K-window sweep: compute scales linearly with K; the contract
+            # (overflow=0) tightens as K shrinks.
+            for kk in (32, 16, 8):
+                win = jax.jit(lambda i, f, kk=kk:
+                              warp_window_pallas(i, f, window_k=kk))
+                ovf = int(window_overflow_blocks(img.shape, flow, k=kk))
+                tw = timeit(win, (img, flow), iters=5) * 1e3
+                d = float(jnp.max(jnp.abs(
+                    win(img, flow).astype(jnp.float32)
+                    - quad(img, flow).astype(jnp.float32))))
+                line += (f"  winK{kk} {tw:7.2f} ms ({tq / tw:4.1f}x,"
+                         f" maxdiff {d:.3f}, ovf {ovf})")
+            print(line, flush=True)
 
     # --- in-context: full PWC forward, window vs quad --------------------
     from unsupervised_detection_tpu.models.pwcnet import PWCNet

@@ -101,17 +101,42 @@ def _warp_quad(image, flow):
                  taps[..., 2 * c:3 * c], taps[..., 3 * c:], ay, ax)
 
 
+# Below this many output pixels per image the window kernel's per-block
+# overheads lose to the quad gather (measured, tools/bench_warp_window.py:
+# L4 24x40 is 0.3x, L3 48x80 is 1.0-1.7x, L2 96x160 is 1.7-2.0x).
+_WINDOW_MIN_PIXELS = 48 * 80
+
+
 def _warp_window(image, flow):
-    """Gather-free windowed Pallas kernel (ops/pallas/warp_kernel.py).
+    """Gather-free windowed Pallas kernel (ops/pallas/warp_kernel.py),
+    runtime-guarded: equal to the gather formulations up to fp
+    reassociation when each 8-row block's vertical source spread fits the
+    32-row window (true for PWC's smooth upsampled flows). The guard
+    evaluates `window_overflow_blocks` on the ACTUAL flow and lax.cond's
+    to the quad gather when any block overflows, so this method is always
+    tap-exact — the window branch only ever executes when it is exact.
 
-    Equal to the gather formulations up to fp reassociation when each 8-row
-    block's vertical source spread fits the 32-row window (true for PWC's
-    smooth upsampled flows — `window_overflow_blocks` checks a given flow);
-    out-of-window taps clamp to the window edge. Opt-in perf mode; the
-    parity default stays "quad"."""
-    from .pallas.warp_kernel import warp_window_pallas
+    Static gating: shapes where the kernel measured slower than the gather
+    (small levels) or where it would fall back anyway dispatch straight to
+    quad (tools/bench_warp_window.py for the numbers)."""
+    import jax
 
-    return warp_window_pallas(image, flow)
+    from .pallas.warp_kernel import (_would_fallback, warp_window_pallas,
+                                     window_overflow_blocks)
+
+    b, h, w, c = image.shape
+    if (h * w < _WINDOW_MIN_PIXELS
+            or _would_fallback(image.shape, image.dtype.itemsize)):
+        return _warp_quad(image, flow)
+    # Mosaic kernels only lower on TPU; elsewhere (CPU test suite) run the
+    # kernel through the Pallas interpreter so the method works everywhere.
+    interpret = jax.default_backend() != "tpu"
+    overflow = window_overflow_blocks(image.shape, flow)
+    return jax.lax.cond(
+        overflow > 0,
+        lambda im, fl: _warp_quad(im, fl),
+        lambda im, fl: warp_window_pallas(im, fl, interpret),
+        image, flow)
 
 
 _WARP_METHODS = {"flat": _warp_flat, "dup2": _warp_dup2, "quad": _warp_quad,
@@ -131,7 +156,10 @@ def dense_image_warp(image, flow, method: str = "flat"):
         method: gather formulation — "flat" (4 gathers of C-wide rows),
             "dup2" (2 gathers of 2C rows), or "quad" (1 gather of 4C rows).
             All three produce bit-identical taps; the fastest choice is
-            context-dependent (see module docstring).
+            context-dependent (see module docstring). "window" dispatches
+            large levels to the gather-free Pallas kernel with a runtime
+            exactness guard (_warp_window; same taps, fp-reassociated;
+            1.2x whole-PWC at batch 64 — tools/bench_warp_window.py).
 
     Returns:
         (B, H, W, C) warped image, same dtype as `image`.
