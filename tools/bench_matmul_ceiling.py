@@ -1,11 +1,18 @@
 #!/usr/bin/env python3
 """Defend (or fix) the chip's compute ceiling (VERDICT r3 item 4).
 
-bench.py reports MFU against a measured ~68 TFLOP/s chained-matmul ceiling,
+Round 3 reported MFU against a measured ~68 TFLOP/s chained-matmul ceiling,
 2.9x below the v5e paper peak (197 TFLOP/s bf16). This sweep publishes the
 calibration: the best TFLOP/s XLA achieves on this chip across matmul
 shapes/depths and a PWC-like convolution, so the ceiling is a defended
 number rather than an assumption.
+
+Result (2026-08-19, this chip): single matmuls are dispatch-bound through
+the tunnel (bf16 4096^3: 40.6 TFLOP/s) but chaining amortizes it —
+**x8-chained bf16 4096: 127.3 TFLOP/s** (8192^3 single: 121.3; f32 4096:
+34.9 = the expected 1/4 rate). The round-3 68 was an under-measurement;
+bench.py now reports MFU against 127.3. Companion: bench_conv_ceiling.py
+measures the conv-class ceiling at the model's own shapes.
 
 Probes (all bf16 operands, f32 accumulation — the MXU-native mode):
   * single matmul (N x N) @ (N x N), N in {1024..8192} — HBM-amortization

@@ -59,7 +59,7 @@ def main():
     print("full reference schedule estimate: %.1f minutes" % (total_cycles * dt / 60))
 
     # FLOP accounting from the compiled programs themselves: one cycle is
-    # 1 recover + 3 generator sub-steps (MFU vs the 68 TFLOP/s chained-
+    # 1 recover + 3 generator sub-steps (MFU vs the 127.3 TFLOP/s chained-
     # matmul ceiling measured on this chip and vs v5e bf16 peak).
     try:
         costs = {}
@@ -73,10 +73,10 @@ def main():
                        + cfg.iters_gen * costs["gen"])
         tflops = cycle_flops / dt / 1e12
         print("cycle FLOPs: %.2f T (rec %.2f + 3 x gen %.2f) -> "
-              "%.1f TFLOP/s; MFU %.3f vs 68 TFLOP/s measured ceiling, "
+              "%.1f TFLOP/s; MFU %.3f vs 127.3 TFLOP/s measured ceiling, "
               "%.3f vs 197 TFLOP/s v5e bf16 peak"
               % (cycle_flops / 1e12, costs["rec"] / 1e12, costs["gen"] / 1e12,
-                 tflops, tflops / 68.0, tflops / 197.0))
+                 tflops, tflops / 127.3, tflops / 197.0))
     except Exception as e:  # cost_analysis availability varies by backend
         print("FLOP accounting unavailable: %r" % (e,))
 
