@@ -118,12 +118,16 @@ def test_losses_match_reference_structure(learner, state, tiny_config):
 
 def test_model_axis_mesh_equivalence(tiny_config):
     """A ("data"=4, "model"=2) mesh runs the train step with results equal to
-    the default 8x1 mesh: nothing shards over "model" yet (SURVEY's TP
-    placeholder), so parameters replicate along it and the 4-way data-
-    parallel result must match the 8-way one up to reduction order."""
+    the default 8x1 mesh. The model axis is REAL here: the PWC cost volume's
+    offset axis is shard-constrained along it (train/objective.py), so each
+    model-axis device computes half the correlation shifts and XLA inserts
+    the ICI collective where the estimator consumes all of them. The 4-way
+    data x 2-way model result must match the 8-way data-parallel one up to
+    reduction order."""
     cfg = tiny_config.replace(mesh_model=2, mesh_data=0)
     learner2 = AdversarialLearner(cfg)
     assert learner2.mesh.devices.shape == (4, 2)
+    assert learner2.objective.pwc.costvol_offset_sharding is not None
     state2 = learner2.init_state(jax.random.PRNGKey(0))
 
     learner1 = AdversarialLearner(tiny_config)

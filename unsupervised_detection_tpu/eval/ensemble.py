@@ -31,11 +31,11 @@ class EnsembleEvaluator:
     def __init__(self, config: Config, mesh=None, test_crops: List[float] = None):
         self.config = config
         self.test_crops = list(test_crops or TEST_CROPS)
-        self.objective = AdversarialObjective(config)
         self.mesh = mesh if mesh is not None else make_mesh(
             n_data=config.mesh_data or None, n_model=config.mesh_model,
             batch_size=config.batch_size,
         )
+        self.objective = AdversarialObjective(config, mesh=self.mesh)
         self._build()
 
     def _build(self):

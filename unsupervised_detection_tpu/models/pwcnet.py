@@ -105,6 +105,11 @@ class PWCNet(nn.Module):
     # in-context once the estimator runs concat-free (tools/bench_split_conv.py:
     # 131.6 ms vs 138.2 flat at batch 32). Bit-identical tap math.
     warp_method: str = "quad"
+    # Optional NamedSharding for the pre-transpose cost volume
+    # [B, (2r+1)^2, H, W]; set by the learner/evaluator when the mesh has a
+    # model axis > 1 to make the correlation offsets tensor-parallel
+    # (ops/cost_volume.cost_volume docstring).
+    costvol_offset_sharding: object = None
 
     @nn.compact
     def __call__(self, img1, img2, return_pyramid: bool = False,
@@ -127,7 +132,8 @@ class PWCNet(nn.Module):
         for lvl in range(self.pyr_lvls, self.flow_pred_lvl - 1, -1):
             if lvl == self.pyr_lvls:
                 corr = cost_volume(c1[lvl], c2[lvl], self.search_range,
-                                   use_pallas=self.use_pallas_costvol)
+                                   use_pallas=self.use_pallas_costvol,
+                                   offset_sharding=self.costvol_offset_sharding)
                 x = [corr]
             else:
                 # Scale upsampled flow into this level's pixel units
@@ -136,7 +142,8 @@ class PWCNet(nn.Module):
                 warped = dense_image_warp(c2[lvl], up_flow * scaler,
                                           method=self.warp_method)
                 corr = cost_volume(c1[lvl], warped, self.search_range,
-                                   use_pallas=self.use_pallas_costvol)
+                                   use_pallas=self.use_pallas_costvol,
+                                   offset_sharding=self.costvol_offset_sharding)
                 # Channel-parts list standing for the reference's
                 # concat([corr, c1, up_flow, up_feat]) — never materialized.
                 x = [corr, c1[lvl], up_flow, up_feat]

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 
 
-def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False):
+def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False,
+                offset_sharding=None):
     """Correlation volume.
 
     Args:
@@ -28,6 +29,13 @@ def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False):
         warp: (B, H, W, C) warped features of image 2.
         search_range: max displacement r; output has (2r+1)^2 channels.
         use_pallas: dispatch to the fused Pallas TPU kernel.
+        offset_sharding: optional NamedSharding for the pre-transpose
+            [B, (2r+1)^2, H, W] volume. Sharding the offset axis along the
+            mesh's "model" axis makes the (2r+1)^2 shift/reduce computation
+            tensor-parallel: each model-axis device computes its shift
+            subset (inputs are batch-sharded/replicated along "model", so
+            no communication is needed to produce a shard) and XLA inserts
+            the ICI all-gather where the estimator consumes all channels.
 
     Returns:
         (B, H, W, (2r+1)^2) cost volume after LeakyReLU(0.1).
@@ -36,10 +44,10 @@ def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False):
         from .pallas.cost_volume_kernel import cost_volume_pallas
 
         return cost_volume_pallas(c1, warp, search_range)
-    return _cost_volume_xla(c1, warp, search_range)
+    return _cost_volume_xla(c1, warp, search_range, offset_sharding)
 
 
-def _cost_volume_xla(c1, warp, search_range: int):
+def _cost_volume_xla(c1, warp, search_range: int, offset_sharding=None):
     # The 81 per-shift maps are stacked on a MAJOR axis ([B, 81, H, W]) and
     # transposed to channels-last once at the end: stacking on the channel
     # (lane) axis makes every [B,H,W,1] stack operand acquire 128x lane
@@ -58,4 +66,6 @@ def _cost_volume_xla(c1, warp, search_range: int):
             )
             costs.append(jnp.sum(c1 * shifted, axis=3) * inv_c)
     vol = jax.nn.leaky_relu(jnp.stack(costs, axis=1), negative_slope=0.1)
+    if offset_sharding is not None:
+        vol = jax.lax.with_sharding_constraint(vol, offset_sharding)
     return vol.transpose(0, 2, 3, 1)

@@ -82,15 +82,15 @@ class AdversarialLearner:
 
     def __init__(self, config: Config, mesh=None):
         self.config = config
-        self.objective = AdversarialObjective(config)
+        self.mesh = mesh if mesh is not None else make_mesh(
+            n_data=config.mesh_data or None, n_model=config.mesh_model,
+            batch_size=config.batch_size,
+        )
+        self.objective = AdversarialObjective(config, mesh=self.mesh)
         # (lr, b1, b2, eps) for train/optim.adam_apply — TF1-Adam semantics
         # with the shared step (adversarial_learner.py:216-233).
         self.adam_hparams = (
             config.learning_rate, config.beta1, 0.999, config.adam_epsilon,
-        )
-        self.mesh = mesh if mesh is not None else make_mesh(
-            n_data=config.mesh_data or None, n_model=config.mesh_model,
-            batch_size=config.batch_size,
         )
         self._build_steps()
 

@@ -46,14 +46,24 @@ class ForwardOutputs(NamedTuple):
 
 
 class AdversarialObjective:
-    """Binds the three networks and the config into pure loss functions."""
+    """Binds the three networks and the config into pure loss functions.
 
-    def __init__(self, config: Config):
+    When `mesh` carries a model axis of size > 1, the PWC cost volume's
+    (2r+1)^2 offset axis is shard-constrained along it (tensor parallelism
+    over correlation shifts; ops/cost_volume.cost_volume docstring)."""
+
+    def __init__(self, config: Config, mesh=None):
         self.config = config
         dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dtype
         self.generator = GeneratorNet(dtype=dtype)
         self.recover = RecoverNet(dtype=dtype)
+        costvol_sharding = None
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            costvol_sharding = NamedSharding(
+                mesh, P("data", "model", None, None))
         self.pwc = PWCNet(
             pyr_lvls=config.pwc_pyr_lvls,
             flow_pred_lvl=config.pwc_flow_pred_lvl,
@@ -61,6 +71,7 @@ class AdversarialObjective:
             dtype=dtype,
             use_pallas_costvol=config.use_pallas,
             warp_method=config.warp_method,
+            costvol_offset_sharding=costvol_sharding,
         )
 
     # --- network applications -------------------------------------------
