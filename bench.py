@@ -65,16 +65,23 @@ def main():
     batch = int(args[0]) if args else 128
     modes = set(args[1:])
     compute_dtype = "float32" if "float32" in modes else "bfloat16"
-    unknown = modes - {"float32", "bfloat16", "pallas", "fast", "window"}
+    unknown = modes - {"float32", "bfloat16", "pallas", "fast", "window",
+                       "quad"}
     if unknown:
         raise SystemExit(f"Unknown bench mode(s): {sorted(unknown)}; "
-                         "expected float32|bfloat16|pallas|fast|window")
+                         "expected float32|bfloat16|pallas|fast|window|quad")
     use_pallas = "pallas" in modes
-    # "window": the gather-free Pallas warp with its runtime exactness
-    # guard (ops/warp.py _warp_window) on the large PWC levels — same taps
-    # up to fp reassociation (1.19x whole-PWC at batch 64,
-    # tools/bench_warp_window.py). Default stays the bit-exact quad gather.
-    warp_method = "window" if "window" in modes else "quad"
+    # Warp default is the gather-free Pallas window kernel with its runtime
+    # exactness guard (ops/warp.py _warp_window) on the large PWC levels:
+    # identical bilinear taps up to fp reassociation — a strictly smaller
+    # numerical deviation than the bf16 default — measured 569 vs 516 fps
+    # at batch 128 (2026-08-19). "quad" selects the bit-exact gather
+    # formulation (the round-3 parity number). Note the window kernel's
+    # cost_estimate adds ~6 GFLOP/frame of kernel-padded compute to the
+    # cost-analysis FLOP count, so MFU in window mode slightly overstates
+    # useful-FLOP MFU (0.555 raw vs 0.527 against the quad program's
+    # 117.9 GFLOP/frame).
+    warp_method = "quad" if "quad" in modes else "window"
     # Non-parity throughput mode: "fast" runs the flow net at half reader
     # resolution (~1495 fps/chip at batch 128 vs 516 parity; the generator
     # input is standardized flow, so magnitudes cancel). Parity mode is the
