@@ -126,3 +126,25 @@ def test_window_method_small_level_static_gate():
     got = np.asarray(dense_image_warp(image, flow, method="window"))
     want = np.asarray(dense_image_warp(image, flow, method="quad"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_window_method_gradients_match_quad():
+    # method="window" carries a custom VJP that differentiates through the
+    # quad gather (the same bilinear-tap function), so PWC pretraining can
+    # train THROUGH the warp with the kernel in the forward pass.
+    rng = np.random.RandomState(6)
+    image = jnp.asarray(rng.randn(1, 96, 160, 32), jnp.float32)
+    flow = jnp.asarray(_smooth_flow(rng, 1, 96, 160, 2.0))
+
+    def loss(method):
+        def f(im, fl):
+            out = dense_image_warp(im, fl, method=method)
+            return jnp.sum(out * out)
+        return f
+
+    gw_i, gw_f = jax.grad(loss("window"), argnums=(0, 1))(image, flow)
+    gq_i, gq_f = jax.grad(loss("quad"), argnums=(0, 1))(image, flow)
+    np.testing.assert_allclose(np.asarray(gw_i), np.asarray(gq_i),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gq_f),
+                               rtol=1e-3, atol=1e-3)

@@ -67,9 +67,11 @@ class Config:
     grad_noise_threshold: float = 1e-5   # loss_utils.py:22
     compute_dtype: str = "float32"       # "bfloat16" for TPU throughput
     use_pallas: bool = False             # fused Pallas kernels for costvol
-    # PWC warp formulation (ops/warp.py): "quad" (parity default) or
-    # "window" (gather-free Pallas kernel; exact for PWC's smooth upsampled
-    # flows, out-of-window taps clamp — see ops/pallas/warp_kernel.py).
+    # PWC warp formulation (ops/warp.py): "quad" (bit-exact parity default)
+    # or "window" (gather-free Pallas kernel on the large levels: same taps
+    # up to fp reassociation, runtime-guarded to fall back to quad on any
+    # out-of-window flow, differentiable via a quad-backward custom VJP;
+    # +10.5% flagship inference fps — see ops/pallas/warp_kernel.py).
     warp_method: str = "quad"
     # PWC internal resolution divisor (1 = reference parity at 640x384;
     # 2 runs the flow net at 320x192, ~3x less flow compute — the mask net

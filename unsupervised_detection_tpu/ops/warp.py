@@ -107,6 +107,7 @@ def _warp_quad(image, flow):
 _WINDOW_MIN_PIXELS = 48 * 80
 
 
+@jax.custom_vjp
 def _warp_window(image, flow):
     """Gather-free windowed Pallas kernel (ops/pallas/warp_kernel.py),
     runtime-guarded: equal to the gather formulations up to fp
@@ -118,9 +119,12 @@ def _warp_window(image, flow):
 
     Static gating: shapes where the kernel measured slower than the gather
     (small levels) or where it would fall back anyway dispatch straight to
-    quad (tools/bench_warp_window.py for the numbers)."""
-    import jax
+    quad (tools/bench_warp_window.py for the numbers).
 
+    Differentiable: pallas_call has no VJP, so the custom backward
+    re-derives gradients through the quad gather formulation — the same
+    bilinear-tap function, so the gradients are exact for it (PWC
+    pretraining differentiates through the warp; train/pretrain_pwc.py)."""
     from .pallas.warp_kernel import (_would_fallback, warp_window_pallas,
                                      window_overflow_blocks)
 
@@ -137,6 +141,19 @@ def _warp_window(image, flow):
         lambda im, fl: _warp_quad(im, fl),
         lambda im, fl: warp_window_pallas(im, fl, interpret),
         image, flow)
+
+
+def _warp_window_fwd(image, flow):
+    return _warp_window(image, flow), (image, flow)
+
+
+def _warp_window_bwd(res, g):
+    image, flow = res
+    _, vjp = jax.vjp(_warp_quad, image, flow)
+    return vjp(g)
+
+
+_warp_window.defvjp(_warp_window_fwd, _warp_window_bwd)
 
 
 _WARP_METHODS = {"flat": _warp_flat, "dup2": _warp_dup2, "quad": _warp_quad,
