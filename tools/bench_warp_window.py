@@ -118,6 +118,10 @@ def main():
     params = jax.jit(net.init)(jax.random.PRNGKey(0), img1[:1], img2[:1])
 
     def warp_inputs(p, a, b):
+        # The spy captures tracers during jit tracing; returning them makes
+        # them function outputs, so one compiled run yields every level's
+        # warp-input flow (the eager variant cost ~10 min of tunnel
+        # round-trips).
         flows = {}
 
         def spy(image, flow, method="quad"):
@@ -134,14 +138,24 @@ def main():
             m.dense_image_warp = orig
         return flows
 
-    flows = warp_inputs(params, img1[:8], img2[:8])
-    total = 0
+    flows = jax.jit(warp_inputs)(params, img1[:8], img2[:8])
+    # Channel counts at each warp level (c2[lvl] features) — the overflow
+    # contract depends on C through the lane-alignment slack.
+    level_c = {(12, 20): 128, (24, 40): 96, (48, 80): 64, (96, 160): 32}
+    totals = {}
     for hw, fl in sorted(flows.items()):
-        n = int(window_overflow_blocks(
-            (fl.shape[0], hw[0], hw[1], 1), np.asarray(fl, np.float32)))
-        total += n
-        print(f"warp level {hw}: overflow blocks {n}", flush=True)
-    print("in-context overflow total (random-init net, 8 frames):", total,
+        c = level_c.get(tuple(hw), 32)
+        counts = {}
+        for kk in (32, 16, 8):
+            counts[kk] = int(window_overflow_blocks(
+                (fl.shape[0], hw[0], hw[1], c),
+                np.asarray(fl, np.float32), k=kk))
+            totals[kk] = totals.get(kk, 0) + counts[kk]
+        print(f"warp level {hw} (C={c}): overflow blocks "
+              + "  ".join(f"K{kk}={v}" for kk, v in counts.items()),
+              flush=True)
+    print("in-context overflow totals (random-init net, 8 frames):",
+          " ".join(f"K{kk}={v}" for kk, v in sorted(totals.items())),
           flush=True)
 
 

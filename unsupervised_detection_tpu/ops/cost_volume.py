@@ -30,12 +30,19 @@ def cost_volume(c1, warp, search_range: int = 4, use_pallas: bool = False,
         search_range: max displacement r; output has (2r+1)^2 channels.
         use_pallas: dispatch to the fused Pallas TPU kernel.
         offset_sharding: optional NamedSharding for the pre-transpose
-            [B, (2r+1)^2, H, W] volume. Sharding the offset axis along the
-            mesh's "model" axis makes the (2r+1)^2 shift/reduce computation
-            tensor-parallel: each model-axis device computes its shift
-            subset (inputs are batch-sharded/replicated along "model", so
-            no communication is needed to produce a shard) and XLA inserts
-            the ICI all-gather where the estimator consumes all channels.
+            [B, n_shifts, H, W] volume, with the offset axis (dim 1)
+            sharded along the mesh's "model" axis. This makes the
+            (2r+1)^2 shift/reduce computation tensor-parallel: each
+            model-axis device computes its shift subset (inputs are
+            batch-sharded/replicated along "model", so no communication
+            is needed to produce a shard) and XLA inserts the ICI
+            all-gather where the estimator consumes all channels.
+            (2r+1)^2 is always odd, and with_sharding_constraint requires
+            divisibility, so the stack is padded with zero shift maps to
+            the next model-axis multiple and the padding is sliced off
+            after the transpose. The batch dim is left unconstrained —
+            its sharding propagates from the inputs (constraining it
+            would reject unsharded batch-1 init traces).
 
     Returns:
         (B, H, W, (2r+1)^2) cost volume after LeakyReLU(0.1).
@@ -65,7 +72,15 @@ def _cost_volume_xla(c1, warp, search_range: int, offset_sharding=None):
                 padded, (0, dy, dx, 0), (b, dy + h, dx + w, c)
             )
             costs.append(jnp.sum(c1 * shifted, axis=3) * inv_c)
+    n_shifts = len(costs)
+    if offset_sharding is not None:
+        axis = offset_sharding.spec[1]
+        names = (axis,) if isinstance(axis, str) else tuple(axis or ())
+        m = 1
+        for name in names:
+            m *= offset_sharding.mesh.shape[name]
+        costs.extend([jnp.zeros_like(costs[0])] * ((-n_shifts) % m))
     vol = jax.nn.leaky_relu(jnp.stack(costs, axis=1), negative_slope=0.1)
     if offset_sharding is not None:
         vol = jax.lax.with_sharding_constraint(vol, offset_sharding)
-    return vol.transpose(0, 2, 3, 1)
+    return vol.transpose(0, 2, 3, 1)[..., :n_shifts]

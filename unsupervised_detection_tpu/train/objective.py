@@ -62,8 +62,10 @@ class AdversarialObjective:
         if mesh is not None and mesh.shape.get("model", 1) > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            # Batch dim unconstrained: it propagates from the inputs, and
+            # a "data" constraint would reject batch-1 init traces.
             costvol_sharding = NamedSharding(
-                mesh, P("data", "model", None, None))
+                mesh, P(None, "model", None, None))
         self.pwc = PWCNet(
             pyr_lvls=config.pwc_pyr_lvls,
             flow_pred_lvl=config.pwc_flow_pred_lvl,
