@@ -21,6 +21,13 @@ loss (PWC_OBJECT_WEIGHT, default 4.0) and region-EPE reporting — the
 recipe fix for the round-3 failure where mean-EPE training on
 single-small-square scenes never learned object motion (inside-EPE
 16 px at 0.36 px background; tools/exp_flow_diag.py).
+
+scenes_version 3 (late round 4) = v2 + sinusoidal per-object flow
+residuals (deformable motion, PWC_DEFORM_AMP px, default 6) + a
+boundary-band loss upweight (PWC_BOUNDARY_WEIGHT, default 8) on the
++-4 px ring around object edges — the recipe lever for the flow-edge
+smear that bounds the adversarial game's locked-regime IoU
+(ROADMAP round-4 item 3: boundary EPE ~7.8 px at every recipe so far).
 """
 
 import os
@@ -64,10 +71,19 @@ def main():
               "compile-helper budget on the tunneled TPU; use <=128x192 "
               "(see .claude/skills/verify/SKILL.md).", flush=True)
 
-    if scenes_version == 2:
+    boundary_weight = 0.0
+    if scenes_version >= 2:
         from exp_scenes import make_scenes_v2
 
-        make = make_scenes_v2(batch, H, W)
+        deform = (float(os.environ.get("PWC_DEFORM_AMP", "6.0"))
+                  if scenes_version >= 3 else 0.0)
+        if scenes_version >= 3:
+            boundary_weight = float(
+                os.environ.get("PWC_BOUNDARY_WEIGHT", "8.0"))
+        make = make_scenes_v2(batch, H, W, deform_amp=deform)
+        if scenes_version >= 3:
+            print(f"v3 recipe: deform_amp={deform} px, "
+                  f"boundary_weight={boundary_weight}", flush=True)
     else:
         make = make_batch_fn(batch, H, W, square=max(16, H // 4),
                              with_pairs=True)
@@ -77,7 +93,7 @@ def main():
     def device_batches(_rng, _b, _h, _w):
         keybox["k"], k = jax.random.split(keybox["k"])
         img1, img2, flow80, gt = make(k)
-        if scenes_version == 2:  # pretrain targets pixel units
+        if scenes_version >= 2:  # pretrain targets pixel units
             return img1, img2, flow80 * 80.0, gt
         return img1, img2, flow80 * 80.0
 
@@ -107,7 +123,8 @@ def main():
                           save_every=1000, params=params,
                           lr_schedule=os.environ.get("PWC_LR_SCHEDULE",
                                                      "constant"),
-                          object_weight=object_weight)
+                          object_weight=object_weight,
+                          boundary_weight=boundary_weight)
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "
           f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
 

@@ -41,11 +41,18 @@ import jax.numpy as jnp
 
 
 def make_scenes_v2(batch: int, H: int, W: int, max_objects: int = 3,
-                   noise: float = 0.02, bright: float = 0.05):
+                   noise: float = 0.02, bright: float = 0.05,
+                   deform_amp: float = 0.0):
     """Jitted on-device generator: key -> (img1, img2, flow80, obj_mask).
 
     flow80 is flow / 80 (the /flow_normalizer convention the game uses);
-    obj_mask is the union of object rectangles, [B,H,W,1] float."""
+    obj_mask is the union of object rectangles, [B,H,W,1] float.
+
+    deform_amp > 0 (scenes v3, round 4) adds a low-frequency sinusoidal
+    residual to each object's flow — non-rigid ("deformable") object
+    motion, so the pretrained net generalizes past piecewise-affine
+    fields. With deform_amp=0 the key stream and output are bit-identical
+    to the original v2 distribution (earlier arms stay reproducible)."""
     from unsupervised_detection_tpu.ops.warp import dense_image_warp
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (batch, H, W), 1)
@@ -65,6 +72,18 @@ def make_scenes_v2(batch: int, H: int, W: int, max_objects: int = 3,
                 + co[:, None, None, :, 1] * xn[..., None]
                 + co[:, None, None, :, 2] * yn[..., None])
 
+    def sinusoid(key):
+        """Per-(sample, channel) low-frequency sinusoidal field, +-deform_amp
+        px: amp * sin(2pi fy y + phy) * cos(2pi fx x + phx), f in [1, 3]."""
+        ka, kf, kp = jax.random.split(key, 3)
+        amp = deform_amp * jax.random.uniform(ka, (batch, 1, 1, 2),
+                                              minval=0.3, maxval=1.0)
+        f = jax.random.uniform(kf, (batch, 1, 1, 2, 2), minval=1.0, maxval=3.0)
+        ph = jax.random.uniform(kp, (batch, 1, 1, 2, 2), maxval=2 * jnp.pi)
+        two_pi = 2 * jnp.pi
+        return amp * (jnp.sin(two_pi * f[..., 0] * yn[..., None] + ph[..., 0])
+                      * jnp.cos(two_pi * f[..., 1] * xn[..., None] + ph[..., 1]))
+
     def make(key):
         ks = jax.random.split(key, 5 + max_objects)
         img = jnp.clip(texture(ks[0], 8, 0.6) + texture(ks[1], 2, 0.25),
@@ -75,7 +94,8 @@ def make_scenes_v2(batch: int, H: int, W: int, max_objects: int = 3,
         # Painter's order: later objects overdraw earlier ones, so the
         # (img, flow, mask) triple stays mutually consistent.
         for i in range(max_objects):
-            kk = jax.random.split(ks[3 + i], 8)
+            # The 9th subkey exists only in v3 so v2 arms replay exactly.
+            kk = jax.random.split(ks[3 + i], 9 if deform_amp else 8)
             side_y = jax.random.randint(kk[0], (batch, 1, 1), H // 8, H // 2 + 1)
             side_x = jax.random.randint(kk[1], (batch, 1, 1), H // 8, H // 2 + 1)
             y0 = jax.random.randint(kk[2], (batch, 1, 1), 0, H - H // 8)
@@ -92,7 +112,10 @@ def make_scenes_v2(batch: int, H: int, W: int, max_objects: int = 3,
                    + jax.random.uniform(kk[6], (batch, 1, 1, 1),
                                         minval=-0.2, maxval=0.2))
             img = jnp.clip(jnp.where(m > 0, tex, img), -0.5, 0.5)
-            flow = jnp.where(m > 0, affine(kk[7], 20.0), flow)
+            obj_flow = affine(kk[7], 20.0)
+            if deform_amp:
+                obj_flow = obj_flow + sinusoid(kk[8])
+            flow = jnp.where(m > 0, obj_flow, flow)
             obj_mask = jnp.maximum(obj_mask, m)
 
         img2 = dense_image_warp(img, -flow)

@@ -76,6 +76,24 @@ def synthetic_flow_batch(rng: np.random.RandomState, batch: int, height: int,
     return img1, img2, flow
 
 
+def boundary_band(mask, radius: int = 4):
+    """Morphological boundary band of a {0,1} mask: dilate(m) - erode(m).
+
+    [B,H,W,1] float in/out; a pixel is in the band iff both classes occur
+    within `radius` (Chebyshev). Used to upweight the flow-discontinuity
+    ring in pretraining: the PWC output is an x4 bilinear upsample of the
+    L2 flow grid (models/pwcnet.py, reference model_pwcnet.py:642-647),
+    so the edge transition is ~4 px wide and band-averaged EPE — not mean
+    EPE — is what bounds the adversarial game's mask boundary precision
+    (ROADMAP round-4 item 3: locked-regime IoU tracks boundary EPE)."""
+    k = 2 * radius + 1
+    dil = jax.lax.reduce_window(mask, -jnp.inf, jax.lax.max,
+                                (1, k, k, 1), (1, 1, 1, 1), "SAME")
+    ero = -jax.lax.reduce_window(-mask, -jnp.inf, jax.lax.max,
+                                 (1, k, k, 1), (1, 1, 1, 1), "SAME")
+    return dil - ero
+
+
 def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
                    aux_weight: float = 0.1, weight=None):
     """Final-resolution EPE + auxiliary per-level EPE.
@@ -121,7 +139,8 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
                  batch_fn=None, learning_rate: Optional[float] = None,
                  params=None, save_every: int = 1000,
                  lr_schedule: str = "constant",
-                 object_weight: float = 0.0) -> Tuple[dict, float]:
+                 object_weight: float = 0.0,
+                 boundary_weight: float = 0.0) -> Tuple[dict, float]:
     """Train the PWC net on synthetic warped scenes; returns (params, EPE).
 
     `batch_fn(rng, batch, H, W) -> (img1, img2, flow)` overrides the scene
@@ -137,7 +156,10 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
     (per-pixel weight 1 + object_weight*mask, multiscale_epe) and the
     progress line reports EPE split by region (inside objects vs
     background), the metric that actually gates the adversarial game
-    (tools/exp_flow_diag.py)."""
+    (tools/exp_flow_diag.py). `boundary_weight` additionally upweights
+    the +-4 px ring around object edges (boundary_band) — the recipe-v3
+    lever for the flow-edge smear that bounds the game's locked-regime
+    IoU; with it set, the progress line also reports band EPE."""
     obj = AdversarialObjective(config)
     lr = learning_rate if learning_rate is not None else config.learning_rate
     if lr_schedule == "cosine":
@@ -162,19 +184,25 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
         def loss_fn(p):
             flow_pred, flow_pyr = obj.pwc.apply(
                 {"params": p}, img1, img2, return_pyramid=True)
-            weight = (None if obj_mask is None
-                      else 1.0 + object_weight * obj_mask)
+            weight, band = None, None
+            if obj_mask is not None:
+                weight = 1.0 + object_weight * obj_mask
+                if boundary_weight:
+                    band = boundary_band(obj_mask)
+                    weight = weight + boundary_weight * band
             loss, epe = multiscale_epe(flow_pred, flow_pyr, flow_gt,
                                        obj.pwc.flow_pred_lvl, weight=weight)
             regions = ()
             if obj_mask is not None:
                 err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1,
                                       keepdims=True)
-                inside = jnp.sum(err * obj_mask) / jnp.maximum(
-                    jnp.sum(obj_mask), 1.0)
-                bg = jnp.sum(err * (1 - obj_mask)) / jnp.maximum(
-                    jnp.sum(1 - obj_mask), 1.0)
-                regions = (inside, bg)
+
+                def rmean(m):
+                    return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+                regions = (rmean(obj_mask), rmean(1 - obj_mask))
+                if band is not None:
+                    regions = regions + (rmean(band),)
             return loss, (epe, regions)
 
         (loss, (epe, regions)), grads = jax.value_and_grad(
@@ -198,6 +226,8 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
             if regions:
                 extra = (f"  inside {float(regions[0]):.3f}"
                          f"  bg {float(regions[1]):.3f}")
+                if len(regions) > 2:
+                    extra += f"  band {float(regions[2]):.3f}"
             print(f"pwc-pretrain {i:6d}  loss {float(loss):.4f}  "
                   f"EPE {float(epe):.4f} px{extra}", flush=True)
         if config.checkpoint_dir and i % save_every == 0:
