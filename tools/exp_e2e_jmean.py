@@ -44,7 +44,10 @@ sys.path.insert(0, REPO)
 H, W = 192, 384
 SQUARE = 48
 FRAMES = 24
-SEQS = ("pan_a", "zoom_b", "drift_c", "shear_d")
+# wobble_e (late round 4) is genuinely DEFORMABLE: an elliptical blob whose
+# radius varies with angle and time, so both the silhouette and the interior
+# flow are non-rigid — the "deformable motion" half of VERDICT r3 item 3.
+SEQS = ("pan_a", "zoom_b", "drift_c", "shear_d", "wobble_e")
 SEARCH_RANGE = 2  # the v2 PWC checkpoint's cost-volume range
 
 
@@ -103,7 +106,10 @@ def render_dataset(root, seed=17):
 
         th, tw = H + 2 * margin, W + 2 * margin
         bg_tex = _texture(rng, th, tw, 8, 0.6) + _texture(rng, th, tw, 2, 0.25)
-        sq_tex = (_texture(rng, SQUARE, SQUARE, 4, 0.7)
+        wobble = seq == "wobble_e"
+        R0, TEX = SQUARE // 2 + 8, 2 * (SQUARE // 2 + 8) + 8
+        obj_side = TEX if wobble else SQUARE
+        sq_tex = (_texture(rng, obj_side, obj_side, 4, 0.7)
                   + rng.uniform(-0.2, 0.2))
 
         # Background per-frame affine motion (constant per sequence: smooth
@@ -115,17 +121,19 @@ def render_dataset(root, seed=17):
             "zoom_b": dict(a=(1.0, -1.5), b=(3.0, 0.5), c=(0.5, 3.0)),
             "drift_c": dict(a=(-4.0, 3.0), b=(-2.0, 0.0), c=(0.0, -2.0)),
             "shear_d": dict(a=(2.5, -2.0), b=(0.0, 4.0), c=(-4.0, 0.0)),
+            "wobble_e": dict(a=(3.0, -2.5), b=(1.0, -1.0), c=(1.0, 1.0)),
         }[seq]
         w_bg = _affine_flow_matrix(styles["a"], styles["b"], styles["c"], H, W)
 
-        # Square trajectory: start/end centers inside the frame, constant
-        # velocity, slow per-frame scale change (deformable motion). At
-        # frame t: center c_t = c_0 + v*t, side SQUARE*scale**t; the local
-        # texture coordinate of pixel p is (p - c_t)/scale**t + SQUARE/2.
-        y0 = rng.randint(40, H - SQUARE - 40) + SQUARE / 2.0
-        x0 = rng.randint(30, 150) + SQUARE / 2.0
-        y1 = rng.randint(40, H - SQUARE - 40) + SQUARE / 2.0
-        x1 = rng.randint(W - 190, W - SQUARE - 30) + SQUARE / 2.0
+        # Object trajectory: start/end centers inside the frame, constant
+        # velocity. Squares additionally scale slowly per frame; wobble_e
+        # instead deforms non-rigidly (radius varies with angle AND time),
+        # so neither its silhouette nor its interior flow is affine.
+        half = R0 * 1.3 if wobble else SQUARE / 2.0
+        y0 = rng.randint(40, int(H - 2 * half - 40)) + half
+        x0 = rng.randint(30, 150) + half
+        y1 = rng.randint(40, int(H - 2 * half - 40)) + half
+        x1 = rng.randint(W - 190, int(W - 2 * half - 30)) + half
         vy, vx = (y1 - y0) / FRAMES, (x1 - x0) / FRAMES
         scale = rng.uniform(0.99, 1.012)
 
@@ -135,14 +143,28 @@ def render_dataset(root, seed=17):
             mx, my = _sample_grid(m_bg, H, W)
             frame = cv2.remap(bg_tex, mx + margin, my + margin,
                               cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
-            # Square-local coords of every pixel.
-            s_t = scale ** f
             cy, cx = y0 + vy * f, x0 + vx * f
             xs, ys = np.meshgrid(np.arange(W, dtype=np.float32),
                                  np.arange(H, dtype=np.float32))
-            qx = (xs - cx) / s_t + SQUARE / 2.0
-            qy = (ys - cy) / s_t + SQUARE / 2.0
-            inside = ((qx >= 0) & (qx < SQUARE) & (qy >= 0) & (qy < SQUARE))
+            if wobble:
+                # Deformable blob: boundary r(theta, t) breathes around R0;
+                # texture coords normalize the radius, so interior pixels
+                # stretch with the boundary (non-rigid flow).
+                dy, dx = ys - cy, xs - cx
+                rho = np.sqrt(dx * dx + dy * dy) + 1e-6
+                theta = np.arctan2(dy, dx)
+                r_t = R0 * (1.0 + 0.18 * np.sin(3 * theta + 0.35 * f)
+                            + 0.10 * np.cos(2 * theta - 0.5 * f))
+                inside = rho < r_t
+                qx = (dx * (R0 / r_t) + TEX / 2.0).astype(np.float32)
+                qy = (dy * (R0 / r_t) + TEX / 2.0).astype(np.float32)
+            else:
+                # Square-local coords of every pixel; side SQUARE*scale**f.
+                s_t = scale ** f
+                qx = (xs - cx) / s_t + SQUARE / 2.0
+                qy = (ys - cy) / s_t + SQUARE / 2.0
+                inside = ((qx >= 0) & (qx < SQUARE)
+                          & (qy >= 0) & (qy < SQUARE))
             sq = cv2.remap(sq_tex, qx.astype(np.float32), qy.astype(np.float32),
                            cv2.INTER_LINEAR, borderMode=cv2.BORDER_REFLECT)
             frame = np.where(inside[..., None], sq, frame)
@@ -363,7 +385,9 @@ def main():
             "Dataset: %d rendered sequences x %d frames at %dx%d (affine bg"
             % (len(SEQS), FRAMES, H, W),
             "+ independently-moving, slowly-scaling textured square;",
-            "the game's training distribution as real temporal JPEG video).",
+            "wobble_e is a non-rigidly DEFORMING blob — angle- and",
+            "time-varying radius — outside the game's training family;",
+            "the rest is its training distribution as real temporal video).",
             "", "| stage | mean IoU |", "|---|---|",
         ]
         for k in ("raw_fp32", "raw_bf16", "soft_score", "propagated_f",
