@@ -7,7 +7,8 @@ memory_analysis() (argument/output/temp/code bytes — temp growth beyond
 linear indicates HBM-pressure-driven scheduling or spilling) and
 cost_analysis() FLOPs, alongside measured fps.
 
-Usage: python tools/bench_batch_sweep.py [batch ...] (default 64 96 128 160 192 256)
+Usage: python tools/bench_batch_sweep.py [warp=window|quad] [batch ...]
+       (default warp=quad, batches 64 96 128 160 192 256)
 """
 
 import json
@@ -17,18 +18,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def measure(batch):
+def measure(batch, warp_method="quad"):
     import jax
 
     from unsupervised_detection_tpu import benchlib
     from unsupervised_detection_tpu.config import Config
 
-    cfg = Config(batch_size=batch, compute_dtype="bfloat16")
+    cfg = Config(batch_size=batch, compute_dtype="bfloat16",
+                 warp_method=warp_method)
     forward, example_args = benchlib.build_forward(cfg)
     args = example_args[:3] + benchlib.random_images(cfg)
 
     compiled = jax.jit(forward).lower(*args).compile()
-    rec = {"batch": batch}
+    rec = {"batch": batch, "warp": warp_method}
     try:
         mem = compiled.memory_analysis()
         rec.update({
@@ -53,9 +55,16 @@ def main():
     from unsupervised_detection_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    batches = [int(a) for a in sys.argv[1:]] or [64, 96, 128, 160, 192, 256]
+    warp = "quad"
+    rest = []
+    for a in sys.argv[1:]:
+        if a.startswith("warp="):
+            warp = a.split("=", 1)[1]
+        else:
+            rest.append(int(a))
+    batches = rest or [64, 96, 128, 160, 192, 256]
     for b in batches:
-        print(json.dumps(measure(b)), flush=True)
+        print(json.dumps(measure(b, warp)), flush=True)
 
 
 if __name__ == "__main__":

@@ -132,7 +132,12 @@ def main():
     pwc_ckpt = sys.argv[7] if len(sys.argv) > 7 else ""
     state_dir = sys.argv[8] if len(sys.argv) > 8 else ""
     save_every = int(os.environ.get("EXP_SAVE_EVERY", "250"))
-    square = max(16, H // 4)
+    # EXP_SQUARE overrides the object side (default H//4 = 48 at 192x384).
+    # Round-4 boundary-limit probe: the locked-regime IoU with estimated
+    # flow is hypothesized to be set by the flow-edge smear (a ~4 px ring
+    # from the x4 bilinear upsample of the L2 flow grid), predicting
+    # IoU ~ ((s-2r)/(s+2r))^2 in the square side s — a sq-96 arm tests it.
+    square = int(os.environ.get("EXP_SQUARE", "0")) or max(16, H // 4)
     enable_compilation_cache()
     print(f"config: cycles={cycles} batch={batch} pretrain={pretrain_steps} "
           f"f={f} res={H}x{W} square={square} "
