@@ -32,6 +32,22 @@ checkpointed every 250 cycles and the run RESUMES from the latest save —
 long runs through the remote-TPU tunnel can die mid-RPC (observed: a
 10k-cycle run froze at cycle 3250 when the tunnel dropped), and the
 deterministic replay otherwise costs the whole prefix again.
+
+model.best semantics (round 5): whenever the 25-cycle val IoU improves on
+the best so far, the full payload is ALSO written to
+`<state_dir>/model.best` — the reference's deliverable is that checkpoint,
+not the final state (adversarial_learner.py:443-448 saves on best val IoU;
+the game destabilizing later costs nothing). Round 4 picked model-2750 by
+hand instead; this makes the reference protocol automatic.
+
+Lock-retention lever (round 5, VERDICT item 3): EXP_POSTLOCK_LR=<mult>
+multiplies the Adam learning rate by <mult> once the game has LOCKED onto
+the object (two consecutive vals with IoU > EXP_LOCK_IOU [0.45] and
+mask-cover < EXP_LOCK_COVER [0.12]) — testing whether the post-lock
+destabilization (v2 arm: lock at ~1525, collapse at ~4300) is an
+exploration-rate artifact. Default 1.0 = reference recipe, no decay; the
+scale rides a traced scalar so changing it never recompiles, and it
+persists across resumes.
 """
 
 import os
@@ -173,7 +189,7 @@ def main():
         rec_opt=adam_init(rec_vars["params"]),
     )
 
-    def gen_step(state, image, flow):
+    def gen_step(state, image, flow, lr_scale):
         rng, r_noise = jax.random.split(state.rng)
 
         def loss_fn(p):
@@ -185,10 +201,11 @@ def main():
         grads = _clip_or_noise(r_noise, grads, cfg.gradient_clip,
                                cfg.grad_noise_threshold, True)
         p, o = adam_apply(grads, state.gen_opt, state.gen_params,
-                          state.shared_adam_t, *hparams)
+                          state.shared_adam_t, hparams[0] * lr_scale,
+                          *hparams[1:])
         return state.replace(rng=rng, gen_params=p, gen_opt=o), losses
 
-    def rec_step(state, image, flow):
+    def rec_step(state, image, flow, lr_scale):
         rng, r_noise = jax.random.split(state.rng)
 
         def loss_fn(p):
@@ -200,7 +217,8 @@ def main():
         grads = _clip_or_noise(r_noise, grads, cfg.gradient_clip,
                                cfg.grad_noise_threshold, False)
         p, o = adam_apply(grads, state.rec_opt, state.rec_params,
-                          state.shared_adam_t, *hparams)
+                          state.shared_adam_t, hparams[0] * lr_scale,
+                          *hparams[1:])
         return state.replace(rng=rng, rec_params=p, rec_opt=o), losses
 
     def val_fn(state, image, flow, gt):
@@ -259,7 +277,15 @@ def main():
 
     from unsupervised_detection_tpu.train import checkpoint as ckptmod
 
-    start_cycle, best = 1, 0.0
+    # best starts below any reachable IoU so the FIRST val always writes
+    # model.best (the e2e chain needs a best checkpoint to exist even if
+    # the game never lifts off); resumes restore the stored value.
+    start_cycle, best = 1, -1.0
+    lr_scale = 1.0
+    postlock_lr = float(os.environ.get("EXP_POSTLOCK_LR", "1.0"))
+    lock_iou = float(os.environ.get("EXP_LOCK_IOU", "0.45"))
+    lock_cover = float(os.environ.get("EXP_LOCK_COVER", "0.12"))
+    locked_votes = 0
     data_key = jax.random.PRNGKey(1234)
     resume_path = None
     if state_dir:
@@ -267,13 +293,21 @@ def main():
         resume_path = ckptmod.latest_checkpoint(state_dir)
     if resume_path:
         payload = {"state": state, "data_key": data_key,
-                   "cycle": np.int32(0), "best": np.float32(0.0)}
-        payload = ckptmod.restore_checkpoint(resume_path, payload)
+                   "cycle": np.int32(0), "best": np.float32(0.0),
+                   "lr_scale": np.float32(1.0)}
+        try:
+            payload = ckptmod.restore_checkpoint(resume_path, payload)
+            lr_scale = float(payload["lr_scale"])
+        except Exception:
+            # Pre-round-5 saves lack the lr_scale leaf.
+            payload.pop("lr_scale")
+            payload = ckptmod.restore_checkpoint(resume_path, payload)
         state, data_key = payload["state"], payload["data_key"]
         start_cycle = int(payload["cycle"]) + 1
         best = float(payload["best"])
         pretrain_steps = 0  # recover warm start is inside the saved state
-        print(f"resumed from {resume_path} at cycle {start_cycle}", flush=True)
+        print(f"resumed from {resume_path} at cycle {start_cycle} "
+              f"(best {best:.3f}, lr_scale {lr_scale:g})", flush=True)
 
     prng = jax.random.PRNGKey(7)
     t0 = time.time()
@@ -301,27 +335,47 @@ def main():
     sub = 0
     cyc = cfg.iters_rec + cfg.iters_gen
     hist = []
+    def payload_of(cycle):
+        return {"state": state, "data_key": data_key,
+                "cycle": np.int32(cycle), "best": np.float32(best),
+                "lr_scale": np.float32(lr_scale)}
+
     for cycle in range(start_cycle, cycles + 1):
         for _ in range(cyc):
             data_key, k = jax.random.split(data_key)
             img, flow, _ = next_batch(k, make)
             step = rec_step if (sub % cyc) < cfg.iters_rec else gen_step
-            state, losses = step(state, img, flow)
+            state, losses = step(state, img, flow, jnp.float32(lr_scale))
             sub += 1
         if cycle % 25 == 0 or cycle == 1:
             ious, mcov = val_fn(state, val_img, val_flow, val_gt)
-            iou = float(jnp.mean(ious))
-            best = max(best, iou)
+            iou, mcov = float(jnp.mean(ious)), float(mcov)
+            if iou > best:
+                best = iou
+                if state_dir:
+                    # Reference protocol: the deliverable is the best-val
+                    # checkpoint, not the final state
+                    # (adversarial_learner.py:443-448).
+                    ckptmod.save_checkpoint(state_dir, "model.best",
+                                            payload_of(cycle))
             hist.append((cycle, iou))
             print(f"cycle {cycle:5d}  IoU {iou:.3f}  "
-                  f"mask-cover {float(mcov):.2f}  "
+                  f"mask-cover {mcov:.2f}  "
                   f"gen {float(losses['generator']):+.4f}  "
                   f"rec {float(losses['recover']):.4f}  "
                   f"({time.time()-t0:.0f}s)", flush=True)
+            if postlock_lr != 1.0 and lr_scale == 1.0:
+                locked_votes = (locked_votes + 1
+                                if iou > lock_iou and mcov < lock_cover
+                                else 0)
+                if locked_votes >= 2:
+                    lr_scale = postlock_lr
+                    print(f"cycle {cycle:5d}  LOCK detected (2 consecutive "
+                          f"vals IoU > {lock_iou}, cover < {lock_cover}) — "
+                          f"lr scaled x{postlock_lr:g}", flush=True)
         if state_dir and cycle % save_every == 0:
-            ckptmod.save_checkpoint(state_dir, f"model-{cycle}", {
-                "state": state, "data_key": data_key,
-                "cycle": np.int32(cycle), "best": np.float32(best)})
+            ckptmod.save_checkpoint(state_dir, f"model-{cycle}",
+                                    payload_of(cycle))
     ious, _ = val_fn(state, val_img, val_flow, val_gt)
     hist.append((cycles, float(jnp.mean(ious))))
     tail = [i for _, i in hist[-8:]]

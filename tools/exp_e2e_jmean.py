@@ -225,7 +225,13 @@ def convert_checkpoint(game_ckpt, pwc_ckpt, out_dir):
     )
     payload = {"state": game_template, "data_key": jnp.zeros((2,), jnp.uint32),
                "cycle": np.int32(0), "best": np.float32(0.0)}
-    payload = ckpt.restore_checkpoint(game_ckpt, payload)
+    try:
+        # Round-5 game-arm saves carry an extra lr_scale leaf
+        # (tools/exp_convergence_v2.py post-lock lr lever).
+        payload = ckpt.restore_checkpoint(
+            game_ckpt, dict(payload, lr_scale=np.float32(1.0)))
+    except Exception:
+        payload = ckpt.restore_checkpoint(game_ckpt, payload)
     game_state = payload["state"]
     print("loaded game state at cycle %d (best IoU %.3f)"
           % (int(payload["cycle"]), float(payload["best"])), flush=True)
