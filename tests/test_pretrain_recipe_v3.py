@@ -109,3 +109,49 @@ def test_scenes_v2_default_unchanged():
     b = make_scenes_v2(1, 32, 48, deform_amp=0.0)
     for xa, xb in zip(a(key), b(key)):
         np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+
+
+def test_multiscale_epe_weight_aux_decouples_final_from_aux_levels():
+    """weight_aux replaces `weight` for the aux pyramid levels only (the
+    round-5 fix for the v3 failure: a band weight must not be resized
+    onto coarse levels). Verify by composition: loss(final=wb, aux=wo)
+    == final-term(wb) + aux-terms(wo)."""
+    rs = np.random.RandomState(1)
+    gt = jnp.asarray(rs.randn(1, 16, 32, 2).astype(np.float32))
+    pred = gt.at[:, 6:10].add(1.5)
+    pyr = [gt[:, ::8, ::8] / 20.0, gt[:, ::4, ::4] / 4.0]
+    wb = jnp.ones((1, 16, 32, 1)).at[:, 6:10].set(9.0)  # band-ish weight
+    wo = jnp.ones((1, 16, 32, 1)).at[:, :, :16].set(5.0)  # object-ish
+    mixed, _ = multiscale_epe(pred, pyr, gt, weight=wb, weight_aux=wo)
+    final_wb, _ = multiscale_epe(pred, [], gt, weight=wb)
+    final_wo, _ = multiscale_epe(pred, [], gt, weight=wo)
+    both_wo, _ = multiscale_epe(pred, pyr, gt, weight=wo)
+    np.testing.assert_allclose(float(mixed),
+                               float(final_wb) + float(both_wo)
+                               - float(final_wo), rtol=1e-6)
+
+
+def test_pretrain_boundary_mode_plumbing():
+    """boundary_mode="all" (the reproducible v3 killer) and "final" (the
+    fixed default) both run; unknown modes are rejected."""
+    cfg = Config(batch_size=2, reader_height=64, reader_width=64,
+                 img_height=32, img_width=32, seed=0)
+    make = make_scenes_v2(2, 64, 64, deform_amp=3.0)
+    keybox = {"k": jax.random.PRNGKey(0)}
+
+    def batches(_rng, _b, _h, _w):
+        keybox["k"], k = jax.random.split(keybox["k"])
+        img1, img2, flow80, gt = make(k)
+        return img1, img2, flow80 * 80.0, gt
+
+    for mode in ("final", "all"):
+        _, epe = pretrain_pwc(cfg, steps=1, verbose=False, batch_fn=batches,
+                              object_weight=4.0, boundary_weight=8.0,
+                              boundary_mode=mode)
+        assert np.isfinite(epe)
+    try:
+        pretrain_pwc(cfg, steps=1, verbose=False, batch_fn=batches,
+                     boundary_weight=8.0, boundary_mode="bogus")
+        raise AssertionError("bogus boundary_mode accepted")
+    except ValueError:
+        pass

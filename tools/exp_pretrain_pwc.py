@@ -124,7 +124,11 @@ def main():
                           lr_schedule=os.environ.get("PWC_LR_SCHEDULE",
                                                      "constant"),
                           object_weight=object_weight,
-                          boundary_weight=boundary_weight)
+                          boundary_weight=boundary_weight,
+                          # "final" (default) = round-5 fixed band loss;
+                          # "all" reproduces the v3 all-levels killer.
+                          boundary_mode=os.environ.get("PWC_BOUNDARY_MODE",
+                                                       "final"))
     print(f"done: final train EPE {epe:.3f} px; checkpoint at "
           f"{os.path.join(ckpt_dir, 'pwc-final')}", flush=True)
 

@@ -95,7 +95,7 @@ def boundary_band(mask, radius: int = 4):
 
 
 def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
-                   aux_weight: float = 0.1, weight=None):
+                   aux_weight: float = 0.1, weight=None, weight_aux=None):
     """Final-resolution EPE + auxiliary per-level EPE.
 
     Pyramid levels are coarse->fine (models/pwcnet.py return_pyramid).
@@ -113,7 +113,15 @@ def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
     level (normalized so the mean weight is 1) — used to upweight moving
     objects, whose few pixels a uniform mean otherwise optimizes away
     (round-4 diagnosis: 0.36 px background vs 16 px inside-object EPE).
-    The returned `epe` metric stays unweighted."""
+    `weight_aux` (optional) replaces `weight` for the auxiliary pyramid
+    levels only: the round-5 v3 post-mortem showed that a weight
+    concentrated on motion-boundary pixels must NOT be resized onto
+    coarse levels — there the resize-blurred targets are bilinear
+    mixtures of two motions no flow field can match, and their
+    high-variance residuals (amplified 8x) swamp Adam's second moments
+    through the shared convs, flattening ALL learning (12k-step v3 run:
+    even background EPE never moved; ablation C without the band weight
+    learned normally). The returned `epe` metric stays unweighted."""
     err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1)
     epe = jnp.mean(err)
 
@@ -125,11 +133,12 @@ def multiscale_epe(flow_pred, flow_pyr, flow_gt, flow_pred_lvl: int = 2,
 
     loss = wmean(err, weight)
     aux = 0.0
+    w_base = weight if weight_aux is None else weight_aux
     for i, flow_l in enumerate(flow_pyr):
         size = (flow_l.shape[1], flow_l.shape[2])
         scale = (2.0**flow_pred_lvl if i == len(flow_pyr) - 1 else 20.0)
         target = resize_bilinear(flow_gt, size) / scale
-        w_l = None if weight is None else resize_bilinear(weight, size)
+        w_l = None if w_base is None else resize_bilinear(w_base, size)
         aux = aux + wmean(jnp.linalg.norm(
             flow_l.astype(jnp.float32) - target, axis=-1), w_l)
     return loss + aux_weight * aux, epe
@@ -140,7 +149,8 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
                  params=None, save_every: int = 1000,
                  lr_schedule: str = "constant",
                  object_weight: float = 0.0,
-                 boundary_weight: float = 0.0) -> Tuple[dict, float]:
+                 boundary_weight: float = 0.0,
+                 boundary_mode: str = "final") -> Tuple[dict, float]:
     """Train the PWC net on synthetic warped scenes; returns (params, EPE).
 
     `batch_fn(rng, batch, H, W) -> (img1, img2, flow)` overrides the scene
@@ -157,9 +167,16 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
     progress line reports EPE split by region (inside objects vs
     background), the metric that actually gates the adversarial game
     (tools/exp_flow_diag.py). `boundary_weight` additionally upweights
-    the +-4 px ring around object edges (boundary_band) — the recipe-v3
-    lever for the flow-edge smear that bounds the game's locked-regime
-    IoU; with it set, the progress line also reports band EPE."""
+    the +-4 px ring around object edges (boundary_band) in the FINAL
+    full-resolution loss term ONLY — the boundary-EPE lever. Recipe v3
+    applied it at every pyramid level and learned nothing for 12k steps
+    (coarse-level band targets are unmatchable resize blurs; see
+    multiscale_epe); as of round 5 the aux levels always use the object
+    weight alone. With it set, the progress line also reports band EPE.
+    boundary_mode="all" reproduces the v3 all-levels behavior (kept ONLY
+    so the failure is reproducible/testable)."""
+    if boundary_mode not in ("final", "all"):
+        raise ValueError(f"Unknown boundary_mode: {boundary_mode!r}")
     obj = AdversarialObjective(config)
     lr = learning_rate if learning_rate is not None else config.learning_rate
     if lr_schedule == "cosine":
@@ -184,14 +201,20 @@ def pretrain_pwc(config: Config, steps: int, verbose: bool = True,
         def loss_fn(p):
             flow_pred, flow_pyr = obj.pwc.apply(
                 {"params": p}, img1, img2, return_pyramid=True)
-            weight, band = None, None
+            weight, weight_aux, band = None, None, None
             if obj_mask is not None:
                 weight = 1.0 + object_weight * obj_mask
                 if boundary_weight:
+                    # Band upweight at the FINAL level only — resized onto
+                    # the aux pyramid levels it is a training killer (the
+                    # recipe-v3 failure; see multiscale_epe docstring).
                     band = boundary_band(obj_mask)
+                    if boundary_mode == "final":
+                        weight_aux = weight
                     weight = weight + boundary_weight * band
             loss, epe = multiscale_epe(flow_pred, flow_pyr, flow_gt,
-                                       obj.pwc.flow_pred_lvl, weight=weight)
+                                       obj.pwc.flow_pred_lvl, weight=weight,
+                                       weight_aux=weight_aux)
             regions = ()
             if obj_mask is not None:
                 err = jnp.linalg.norm(flow_pred - flow_gt, axis=-1,
