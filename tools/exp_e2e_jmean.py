@@ -305,14 +305,17 @@ def build_buffers(root, ckpt_path):
     return buf
 
 
-def score_soft_tree(soft_dir, key="pred_mask", threshold=0.1):
+def score_soft_tree(soft_dir, key="pred_mask", threshold=0.1,
+                    per_seq=None):
     """Mean IoU of a soft-score tree's masks vs their stored GT (binarize at
-    the reference's 0.1, test_generator.py:19-35)."""
+    the reference's 0.1, test_generator.py:19-35). With `per_seq` a dict,
+    also records each sequence's mean IoU into it."""
     import scipy.io as sio
 
     ious = []
     for seq in sorted(os.listdir(soft_dir)):
         seq_dir = os.path.join(soft_dir, seq)
+        seq_ious = []
         for fname in sorted(os.listdir(seq_dir)):
             if not fname.endswith(".mat"):
                 continue
@@ -322,8 +325,18 @@ def score_soft_tree(soft_dir, key="pred_mask", threshold=0.1):
             pred = np.squeeze(r[key]) > threshold
             gt = np.squeeze(r["gt_mask"]) > 0.1
             denom = float(np.sum(pred | gt))
-            ious.append(float(np.sum(pred & gt)) / denom if denom else 0.0)
+            seq_ious.append(float(np.sum(pred & gt)) / denom if denom
+                            else 0.0)
+        ious.extend(seq_ious)
+        if per_seq is not None and seq_ious:
+            per_seq[seq] = float(np.mean(seq_ious))
     return float(np.mean(ious)) if ious else None
+
+
+def parse_category_ious(out):
+    """Per-sequence IoU from a test_generator.py log."""
+    return {m.group(1): float(m.group(2)) for m in re.finditer(
+        r"Category (\S+): IoU is ([0-9.]+)", out)}
 
 
 def main():
@@ -359,28 +372,43 @@ def main():
     if "buffer" in stages:
         build_buffers(out_root, ckpt_path)
 
+    per_seq = {}
+    if "raw" in stages and os.path.exists(os.path.join(out_root,
+                                                       "raw_fp32.log")):
+        per_seq["raw_fp32"] = parse_category_ious(
+            open(os.path.join(out_root, "raw_fp32.log")).read())
+
     if "post" in stages:
         soft = os.path.join(out_root, "soft")
         crf = os.path.join(out_root, "crf")
         crf_orig = os.path.join(out_root, "crf_original")
         post_log = os.path.join(out_root, "post.log")
-        out = _run([
-            sys.executable, os.path.join(REPO, "post_processing.py"),
-            "--path_buffer=" + os.path.join(out_root, "buffer"),
-            "--out_soft_score=" + soft,
-            "--resized_out=" + crf,
-            "--original_out=" + crf_orig,
-            "--path_img=" + os.path.join(davis, "JPEGImages/480p"),
-            "--path_gt=" + os.path.join(davis, "Annotations/480p"),
-            "--discover_sequences", "--benchmark",
-        ], post_log)
+        # Resumable like the other stages: reuse the existing outputs when
+        # the CLI already ran (its per-tree .mat masks are on disk).
+        if not (os.path.exists(post_log)
+                and "iou of the resized" in open(post_log).read()):
+            _run([
+                sys.executable, os.path.join(REPO, "post_processing.py"),
+                "--path_buffer=" + os.path.join(out_root, "buffer"),
+                "--out_soft_score=" + soft,
+                "--resized_out=" + crf,
+                "--original_out=" + crf_orig,
+                "--path_img=" + os.path.join(davis, "JPEGImages/480p"),
+                "--path_gt=" + os.path.join(davis, "Annotations/480p"),
+                "--discover_sequences", "--benchmark",
+            ], post_log)
+        out = open(post_log).read()
         m = re.search(r"iou of the resized version:\s*\n([0-9.]+)", out)
         results["post_crf"] = float(m.group(1)) if m else None
         m = re.search(r"iou of the original resolution version:\s*\n([0-9.]+)",
                       out)
         results["post_crf_original"] = float(m.group(1)) if m else None
-        results["soft_score"] = score_soft_tree(soft, "pred_mask")
+        per_seq["soft_score"], per_seq["post_crf"] = {}, {}
+        results["soft_score"] = score_soft_tree(
+            soft, "pred_mask", per_seq=per_seq["soft_score"])
         results["propagated_f"] = score_soft_tree(soft, "running_avg_f")
+        results["post_crf_rescored"] = score_soft_tree(
+            crf, "mask", per_seq=per_seq["post_crf"])
 
     if "report" in stages:
         lines = [
@@ -401,6 +429,20 @@ def main():
             if results.get(k) is not None:
                 lines.append("| %s | %.4f |" % (k, results[k]))
         lines.append("")
+        stage_keys = [k for k in ("raw_fp32", "soft_score", "post_crf")
+                      if per_seq.get(k)]
+        if stage_keys:
+            lines.append("Per-sequence IoU (raw -> soft-score ensemble -> "
+                         "CRF; all at the 0.1 threshold):")
+            lines.append("")
+            lines.append("| sequence | " + " | ".join(stage_keys) + " |")
+            lines.append("|---|" + "---|" * len(stage_keys))
+            for seq in SEQS:
+                row = [("%.4f" % per_seq[k][seq])
+                       if seq in per_seq.get(k, {}) else "-"
+                       for k in stage_keys]
+                lines.append("| %s | %s |" % (seq, " | ".join(row)))
+            lines.append("")
         if results.get("raw_fp32") and results.get("post_crf"):
             lift = results["post_crf"] - results["raw_fp32"]
             lines.append("Post-processing lift (CRF vs raw fp32): %+.4f "
